@@ -1,0 +1,96 @@
+package graft.corpus
+
+import java.nio.charset.StandardCharsets
+
+/** Minimal deterministic PDF writer for the fixture corpus (FIXTURES.md §1):
+  * classic xref, 1–3 pages, one uncompressed (or FlateDecode) content
+  * stream per page using Td/Tj text ops at descending y positions — the
+  * closed-world subset graft.pdf.PdfParser documents. Optionally embeds an
+  * AcroForm /FT /Sig field (signature-detection fixtures, SURVEY.md E6). */
+object PdfWriter {
+
+  /** Escape a PDF literal string. */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) { val k = d.deflate(buf); out.write(buf, 0, k) }
+    d.end()
+    out.toByteArray
+  }
+
+  /** Build a PDF whose page texts are `pages` (each page = list of lines,
+    * ASCII). Line i of a page is shown at y = 720 - 14*i via Td/Tj, so
+    * reading order (and thus extracted text) is the given line order. */
+  def build(pages: Seq[Seq[String]], flate: Boolean = false,
+      withSignature: Boolean = false): Array[Byte] = {
+    val nPages = pages.length
+    // object numbering: 1 catalog, 2 pages, 3 font, then per page: page obj, content obj
+    val pageObjNums = (0 until nPages).map(i => 4 + i * 2)
+    val contentObjNums = (0 until nPages).map(i => 5 + i * 2)
+    val sigObjNum = 4 + nPages * 2
+
+    val objs = scala.collection.mutable.LinkedHashMap.empty[Int, Array[Byte]]
+    val acro = if (withSignature) s" /AcroForm << /Fields [$sigObjNum 0 R] >>" else ""
+    objs(1) = s"<< /Type /Catalog /Pages 2 0 R$acro >>".getBytes(StandardCharsets.US_ASCII)
+    objs(2) = s"<< /Type /Pages /Kids [${pageObjNums.map(n => s"$n 0 R").mkString(" ")}] /Count $nPages >>"
+      .getBytes(StandardCharsets.US_ASCII)
+    objs(3) = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>".getBytes(StandardCharsets.US_ASCII)
+
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      objs(pageObjNums(i)) =
+        (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+         s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${contentObjNums(i)} 0 R >>")
+          .getBytes(StandardCharsets.US_ASCII)
+      val content = new StringBuilder("BT\n/F1 12 Tf\n")
+      lines.zipWithIndex.foreach { case (line, j) =>
+        val y = 720 - 14 * j
+        content.append(s"1 0 0 1 72 $y Tm\n(${esc(line)}) Tj\n")
+      }
+      content.append("ET\n")
+      val raw = content.toString.getBytes(StandardCharsets.ISO_8859_1)
+      val (data, filter) = if (flate) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      val head = s"<< /Length ${data.length}$filter >>\nstream\n".getBytes(StandardCharsets.US_ASCII)
+      val tail = "\nendstream".getBytes(StandardCharsets.US_ASCII)
+      objs(contentObjNums(i)) = head ++ data ++ tail
+    }
+
+    if (withSignature) {
+      objs(sigObjNum) =
+        "<< /FT /Sig /T (Signature1) /Type /Annot /Subtype /Widget /Rect [100 100 300 150] >>"
+          .getBytes(StandardCharsets.US_ASCII)
+    }
+
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.US_ASCII))
+    w("%PDF-1.4\n")
+    val offsets = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    objs.foreach { case (num, body) =>
+      offsets(num) = out.size()
+      w(s"$num 0 obj\n")
+      out.write(body)
+      w("\nendobj\n")
+    }
+    val xrefPos = out.size()
+    val maxObj = objs.keys.max
+    w(s"xref\n0 ${maxObj + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to maxObj).foreach { num =>
+      offsets.get(num) match {
+        case Some(off) => w(f"$off%010d 00000 n \n")
+        case None => w("0000000000 65535 f \n")
+      }
+    }
+    w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+}

@@ -1,0 +1,73 @@
+package graft.extract
+
+import java.sql.Timestamp
+
+/** Output data model of the extraction engine — the Spark re-expression of
+  * the reference's OCRIntermediateResult + EnhancedJSONOutput v2.1 trees
+  * (`idp_pipeline/config/intermediate_format.py:177-306,507-605`,
+  * `models/ocr_engine.py:1544-1596,1783-1949`): nested
+  * ArrayType(StructType) columns via case-class Encoders so Catalyst can
+  * prune at every level (SURVEY.md §1.1, §1.3). Character spans
+  * (start/end into the page raw_text) are the north-rule addition. */
+final case class LineOut(
+    lineNumber: Int,   // 1-based, per reference E1 (ocr_engine.py:1064-1078)
+    text: String,
+    start: Int,        // char offset into page rawText (span)
+    end: Int)
+
+final case class BlockOut(
+    blockType: String, // paragraph | heading | list_item | table_cell
+    text: String,
+    start: Int,
+    end: Int,
+    confidence: Double,
+    lines: Seq[LineOut])
+
+final case class PageOut(
+    pageNumber: Int,   // 1-based
+    rawText: String,
+    charCount: Int,
+    wordCount: Int,
+    lineCount: Int,
+    paragraphCount: Int,
+    script: String,
+    language: String,
+    confidence: Double,
+    blocks: Seq[BlockOut])
+
+final case class SignatureOut(fieldName: String, signed: Boolean)
+
+final case class WordCloudOut(word: String, count: Int, percentage: Double)
+
+final case class DocResult(
+    url: String,
+    warcTs: Timestamp,
+    lang: String,              // input hint column, carried through
+    format: String,            // html | pdf | empty | unknown
+    sha256: String,
+    sizeBytes: Long,
+    status: String,            // ok | empty | error
+    error: String,
+    title: String,
+    pageCount: Int,
+    fullText: String,          // pages joined "\n\n--- PAGE BREAK ---\n\n" (E4)
+    pages: Seq[PageOut],
+    signatures: Seq[SignatureOut],
+    signatureStatus: String,   // both|digitally_signed|manually_signed|unsigned (E8)
+    docType: String,
+    categories: Seq[String],
+    keywords: Seq[String],
+    entities: Seq[String],
+    topWords: Seq[WordCloudOut],
+    summaryBrief: String,
+    summaryDetailed: String,
+    keyPoints: Seq[String],
+    detectedLanguage: String,  // char-weighted roll-up (T18)
+    script: String,
+    totalChars: Long,
+    totalWords: Long,
+    avgConfidence: Double,
+    confidenceLevel: String,   // certain|high|medium|low|uncertain (T16)
+    clarity: String,           // excellent|good|fair|poor (T17)
+    sourceType: String,        // digital|ocr|hybrid (T17)
+    schemaVersion: String)     // "2.1" (intermediate_format.py:539 + upgrade)
