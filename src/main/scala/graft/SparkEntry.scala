@@ -1,13 +1,351 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.corpus.CorpusGen
+import graft.extract.Pipeline
+import graft.ops.{Dedup, Quality, Similarity}
+
+/** Driver contract (SURVEY.md §7.0): one `queries` entry per implemented
+  * operator family, with DuckDB-equivalent `oracleSql` where the
+  * semantics are ANSI-SQL-expressible. Non-SQL operators (extraction,
+  * MinHash/SimHash, ANN, quality UDFs) are rows-only checks.
+  *
+  * Determinism rules for the oracle compare: every query has a total
+  * ORDER BY; money aggregates go through DECIMAL casts (exact, no
+  * float summation-order drift); ratios are rounded then cast to double
+  * identically on both sides; aliases match exactly. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: main-content extraction over the synthesized corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    val corpus = CorpusGen.generate(spark, 500, partitions = 8).toDF()
+    Pipeline.run(corpus)
+      .select(col("url"), col("status"), col("format"),
+        length(col("fullText")).as("text_chars"), col("docType"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------------------------------------------- relational core
+
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q3_top_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_region_suppliers" -> ((s, dir) => {
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("total_acctbal"))
+        .orderBy(col("r_name"))
+    }),
+
+    "q_topk_parts" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("p_partkey"))
+        .limit(20)
+    }),
+
+    // --------------------------------------------- documents: analyzers
+
+    "doc_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_actual"),
+          size(split(col("text"), " ", -1)).as("n_tokens"),
+          col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "word_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ", -1)).as("word"))
+        .filter(length(col("word")) > 2)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+    }),
+
+    "wordcloud_top10" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ", -1)).as("word"))
+        .filter(length(col("word")) > 2)
+      val total = toks.count()
+      toks.groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("pct", round(col("cnt") * lit(100.0) / lit(total.toDouble), 2).cast("double"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(10)
+    }),
+
+    "doctype_score" -> ((s, dir) => {
+      def hits(word: String): Column =
+        ((length(col("text")) - length(regexp_replace(col("text"), word, "")))
+          / lit(word.length)).cast("bigint")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          hits("data").as("data_hits"),
+          hits("table").as("table_hits"),
+          hits("join").as("join_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "lang_rollup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    "dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("canonical_id"))
+        .orderBy(col("digest"))
+        .limit(100)
+    }),
+
+    "quality_sql" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+            .cast("bigint").as("punct_chars"),
+          size(split(col("text"), " ", -1)).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------- events: roll-ups
+
+    "events_daily" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+          countDistinct(col("user_id")).as("uniq_users"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    "events_user_top" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    "value_buckets" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("bucket",
+          when(col("value") >= 160, "certain")
+            .when(col("value") >= 120, "high")
+            .when(col("value") >= 80, "medium")
+            .when(col("value") >= 40, "low")
+            .otherwise("uncertain"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ------------------------------------- extraction engine (rows-only)
+
+    "extract_corpus" -> ((s, dir) => {
+      val n = if (dir.contains("sf0.1")) 5000L else if (dir.contains("sf0.01")) 2000L else 500L
+      val corpus = CorpusGen.generate(s, n, partitions = 32).toDF()
+      Pipeline.run(corpus)
+        .select(col("url"), col("status"), col("format"), col("pageCount"),
+          length(col("fullText")).as("text_chars"), col("docType"),
+          col("signatureStatus"), col("detectedLanguage"))
+        .orderBy(col("url"))
+    }),
+
+    "extract_spans" -> ((s, dir) => {
+      val corpus = CorpusGen.generate(s, 300, partitions = 8).toDF()
+      Pipeline.contractView(Pipeline.run(corpus))
+        .select(col("url"), col("status"), length(col("text")).as("text_chars"),
+          size(col("spans")).as("n_spans"))
+        .orderBy(col("url"))
+    }),
+
+    // -------------------------------------- dedup family (rows-only)
+
+    "minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // guarantee near-dups: a jittered copy of each doc (id + 1e6)
+      val jittered = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+      Dedup.minhashDupPairs(docs.union(jittered).limit(4000), "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val jittered = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+      Dedup.simhashDupPairs(docs.union(jittered).limit(4000), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---------------------------------- similarity search (rows-only)
+
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(emb, queries, k = 5)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.lshTopK(emb, queries, k = 5)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ------------------------------------------ quality (rows-only)
+
+    "quality_scores" -> ((s, dir) => {
+      Quality.withQualityColumns(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
+          round(col("punct_ratio"), 4).as("punct_ratio"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio"),
+          col("quality_score"), col("fingerprint"), col("detected_lang"))
+        .orderBy(col("doc_id"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_suppliers" ->
+      """SELECT r_name, COUNT(*) AS n_suppliers,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_topk_parts" ->
+      """SELECT p_partkey, p_name,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_name ORDER BY total_qty DESC, p_partkey LIMIT 20""".stripMargin,
+
+    "doc_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_actual,
+        | len(string_split(text, ' ')) AS n_tokens, lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "word_topk" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        | SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |WHERE length(word) > 2
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    "wordcloud_top10" ->
+      """WITH f AS (
+        | SELECT word FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        | WHERE length(word) > 2)
+        |SELECT word, COUNT(*) AS cnt,
+        | CAST(ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM f), 2) AS DOUBLE) AS pct
+        |FROM f GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
+
+    "doctype_score" ->
+      """SELECT doc_id,
+        | CAST((length(text) - length(replace(text, 'data', ''))) / length('data') AS BIGINT) AS data_hits,
+        | CAST((length(text) - length(replace(text, 'table', ''))) / length('table') AS BIGINT) AS table_hits,
+        | CAST((length(text) - length(replace(text, 'join', ''))) / length('join') AS BIGINT) AS join_hits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_rollup" ->
+      """SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS digest, COUNT(*) AS cluster_size, MIN(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 ORDER BY digest LIMIT 100""".stripMargin,
+
+    "quality_sql" ->
+      """SELECT doc_id,
+        | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_chars,
+        | len(string_split(text, ' ')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        | COUNT(DISTINCT user_id) AS uniq_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_user_top" ->
+      """SELECT user_id, event_type, value FROM (
+        | SELECT user_id, event_type, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "value_buckets" ->
+      """SELECT CASE WHEN value >= 160 THEN 'certain'
+        |  WHEN value >= 120 THEN 'high'
+        |  WHEN value >= 80 THEN 'medium'
+        |  WHEN value >= 40 THEN 'low'
+        |  ELSE 'uncertain' END AS bucket,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)
 }

@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for web-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+  * bucket-join), SimHash, and n-gram Jaccard verification.
+  *
+  * Scale notes (100 TB): exact dedup is one shuffle on the 64-hex-char
+  * digest (not the document text); MinHash-LSH shuffles only
+  * (docId, bandId, bandHash) tuples — signatures are computed in a
+  * narrow projection and candidate pairs verified WITHOUT re-reading
+  * full text (signature Jaccard), so the wide `text` column never
+  * shuffles. Skewed buckets (boilerplate-heavy shingles) are bounded by
+  * dropping buckets above `maxBucketSize`, the standard LSH guard. */
+object Dedup {
+
+  // -------------------------------------------------------------- exact
+
+  /** Exact dedup: keep the smallest `idCol` per identical `textCol`.
+    * One hash-aggregate shuffle on the digest. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
+    df.withColumn("__digest", sha2(col(textCol), 256))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__digest", "__rn")
+  }
+
+  /** Duplicate-cluster report: digest, cluster size, canonical (min) id. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("digest"))
+      .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("canonical_id"))
+      .filter(col("cluster_size") > 1)
+
+  // ------------------------------------------------------------- minhash
+
+  /** Deterministic universal-hash parameters (a, b) for numHashes
+    * functions h_i(x) = (a_i * x + b_i) mod p. Seed-fixed. a, b < 2^31
+    * and x < 2^32 so a*x + b fits in a signed Long without overflow. */
+  private val Prime = 4294967311L // smallest prime > 2^32
+
+  def hashParams(numHashes: Int, seed: Long = 42L): Array[(Long, Long)] = {
+    val r = new java.util.Random(seed)
+    Array.fill(numHashes) {
+      val a = 1L + r.nextInt(Int.MaxValue - 1)
+      val b = r.nextInt(Int.MaxValue).toLong
+      (a, b)
+    }
+  }
+
+  /** Word k-shingles of a text, hashed to Long (MurmurHash3 of the
+    * joined shingle). Lowercased, whitespace-tokenized. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val tokens = graft.analyzers.PyText.splitWs(text.toLowerCase)
+    if (tokens.length < k) {
+      if (tokens.isEmpty) Array.empty
+      else Array(scala.util.hashing.MurmurHash3.stringHash(tokens.mkString(" ")).toLong & 0xFFFFFFFFL)
+    } else {
+      val out = new Array[Long](tokens.length - k + 1)
+      var i = 0
+      while (i + k <= tokens.length) {
+        val sh = tokens.slice(i, i + k).mkString(" ")
+        out(i) = scala.util.hashing.MurmurHash3.stringHash(sh).toLong & 0xFFFFFFFFL
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** MinHash signature of a shingle-hash set. */
+  def minhashSignature(shingles: Array[Long], params: Array[(Long, Long)]): Array[Long] = {
+    val sig = Array.fill(params.length)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val x = shingles(i)
+      var j = 0
+      while (j < params.length) {
+        val (a, b) = params(j)
+        val v = (a * x + b) % Prime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Signature-estimated Jaccard similarity. */
+  def signatureJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var same = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) same += 1; i += 1 }
+    same.toDouble / a.length
+  }
+
+  /** Exact n-gram Jaccard between two texts (verification / small-scale). */
+  def ngramJaccard(a: String, b: String, k: Int): Double = {
+    val sa = shingleHashes(a, k).toSet
+    val sb = shingleHashes(b, k).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else if (sa.isEmpty || sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  /** MinHash-LSH near-duplicate pairs: returns (id_a, id_b, est_jaccard)
+    * for candidate pairs sharing an LSH band bucket, filtered by
+    * signature Jaccard >= threshold. The shuffled payload is
+    * (id, band, bandHash) + compact signatures — never the text. */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val params = hashParams(numHashes)
+    val bParams = spark.sparkContext.broadcast(params)
+
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, minhashSignature(shingleHashes(if (text == null) "" else text, shingleK), bParams.value))
+      }
+      .toDF("id", "sig")
+
+    // band → bucket-join: explode each signature into (band, bandHash)
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+
+    // LSH guard: drop degenerate mega-buckets
+    val bucketed = banded
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("band"), col("bandHash"))))
+      .filter(col("bsize") <= maxBucketSize)
+
+    val a = bucketed.select(col("band"), col("bandHash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = bucketed.select(col("band"), col("bandHash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "bandHash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs.as[(Long, Long, Seq[Long], Seq[Long])]
+      .map { case (ia, ib, sa, sb) => (ia, ib, signatureJaccard(sa.toArray, sb.toArray)) }
+      .toDF("id_a", "id_b", "est_jaccard")
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens (weight 1 each). */
+  def simhash64(text: String): Long = {
+    val tokens = graft.analyzers.PyText.splitWs(if (text == null) "" else text.toLowerCase)
+    if (tokens.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dup pairs: bucket by 4 x 16-bit chunks (any identical
+    * chunk => candidate, guaranteed for hamming distance <= 3), verify
+    * by full hamming distance. */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sims = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }
+      .toDF("id", "simhash")
+    val chunked = sims.select(col("id"), col("simhash"),
+      posexplode(expr("transform(sequence(0,3), c -> (simhash >> (c*16)) & 65535)")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
+    val a = chunked.select(col("chunk"), col("chunkVal"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("chunkVal"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "chunkVal"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality operators for training-data curation: token counting,
+  * quality scoring (length / punctuation / stopword ratios), language-ID,
+  * and document fingerprinting (rolling hash). Column-expression forms
+  * (codegen'd) where expressible; typed map otherwise. */
+object Quality {
+
+  /** Whitespace token count as a Column (codegen'd). */
+  def tokenCountCol(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token estimate: word chars split into runs of
+    * letters / digits / single punctuation, ~GPT-2 pre-tokenizer shape. */
+  def subwordCountCol(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val punctClass = "[.,!?;:]"
+
+  /** Punctuation chars / total chars. */
+  def punctRatioCol(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, punctClass, ""))).cast("double")
+          / length(text))
+
+  /** Mean token length (chars of non-space text / token count). */
+  def meanTokenLenCol(text: Column): Column = {
+    val tokens = tokenCountCol(text)
+    when(tokens === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / tokens)
+  }
+
+  /** English stopword-token ratio (quality signal: natural prose has
+    * 0.2–0.6; keyword-stuffed or non-linguistic text scores near 0). */
+  def stopwordRatio(text: String): Double = {
+    val toks = graft.analyzers.PyText.splitWs(
+      if (text == null) "" else text.toLowerCase)
+    if (toks.isEmpty) 0.0
+    else toks.count(graft.analyzers.TextAnalyzer.stopwordsEn.contains).toDouble / toks.length
+  }
+
+  /** Composite quality score in [0,1] — deterministic heuristic:
+    * length band + stopword ratio band + mean-word-length band +
+    * punctuation sanity. Mirrors C4/Gopher-style filters (public). */
+  def qualityScore(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val toks = graft.analyzers.PyText.splitWs(text)
+    val n = toks.length
+    var score = 0.0
+    // length band
+    if (n >= 50 && n <= 100000) score += 0.25
+    else if (n >= 10) score += 0.1
+    // mean word length 3..10
+    val mwl = if (n == 0) 0.0 else toks.map(_.length).sum.toDouble / n
+    if (mwl >= 3.0 && mwl <= 10.0) score += 0.25
+    // stopword ratio
+    val swr = stopwordRatio(text)
+    if (swr >= 0.15 && swr <= 0.6) score += 0.25
+    else if (swr > 0.05) score += 0.1
+    // terminal punctuation on at least some lines
+    val lines = graft.analyzers.PyText.splitKeepEmpty(text, "\n")
+      .map(graft.analyzers.PyText.strip).filter(_.nonEmpty)
+    if (lines.nonEmpty) {
+      val punctLines = lines.count(l => ".!?\"'".contains(l.last))
+      if (punctLines.toDouble / lines.length >= 0.3) score += 0.25
+    }
+    math.min(1.0, score)
+  }
+
+  /** 64-bit rolling-hash fingerprint of the whitespace-normalized text
+    * (polynomial rolling hash, base 1000003). Identical after whitespace
+    * jitter — cheaper than MinHash when only exact-after-normalize
+    * dedup is needed. */
+  def fingerprint64(text: String): Long = {
+    if (text == null) return 0L
+    val norm = graft.html.Boilerplate.normalizeWs(text.toLowerCase)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < norm.length) {
+      h = h * 1000003L + norm.charAt(i)
+      i += 1
+    }
+    h
+  }
+
+  /** DataFrame transform: append quality columns to a documents table. */
+  def withQualityColumns(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    val qUdf = udf(qualityScore _)
+    val swUdf = udf(stopwordRatio _)
+    val fpUdf = udf(fingerprint64 _)
+    val langUdf = udf((t: String) =>
+      graft.analyzers.LangScript.detectLanguage(if (t == null) "" else t).detected)
+    df.withColumn("n_tokens", tokenCountCol(col(textCol)))
+      .withColumn("n_subwords", subwordCountCol(col(textCol)))
+      .withColumn("punct_ratio", punctRatioCol(col(textCol)))
+      .withColumn("mean_token_len", meanTokenLenCol(col(textCol)))
+      .withColumn("stopword_ratio", swUdf(col(textCol)))
+      .withColumn("quality_score", qUdf(col(textCol)))
+      .withColumn("fingerprint", fpUdf(col(textCol)))
+      .withColumn("detected_lang", langUdf(col(textCol)))
+  }
+}
