@@ -155,7 +155,7 @@ object SparkEntry {
 
     "events_daily" -> ((s, dir) => {
       t(s, dir, "events")
-        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
           countDistinct(col("user_id")).as("uniq_users"))
@@ -244,6 +244,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---------------------- resumable checkpoint + lineage (rows-only)
+
+    "resumable_lineage" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_lineage_").toString
+      val corpus = CorpusGen.generate(s, 400, partitions = 8).toDF()
+      ops.Checkpoint.runResumable(corpus, out, nBuckets = 8, runId = "verify")
+      ops.Checkpoint.metrics(s, out)
+        .select(col("bucket"), col("docCount"), col("okCount"),
+          col("failCount"), col("emptyCount"), col("inputBytes"))
+        .orderBy(col("bucket"))
+    }),
+
     // ------------------------------------------ quality (rows-only)
 
     "quality_scores" -> ((s, dir) => {
@@ -328,7 +340,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "events_daily" ->
-      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n,
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | COUNT(DISTINCT user_id) AS uniq_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
