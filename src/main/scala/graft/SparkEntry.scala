@@ -256,6 +256,21 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // -------------------- structured-streaming ingest (rows-only)
+
+    "streaming_extract" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_q_").toString
+      CorpusGen.generate(s, 200, partitions = 2).toDF()
+        .write.mode("append").parquet(s"$root/in")
+      val q = graft.streaming.StreamingExtract.start(
+        s, s"$root/in", s"$root/out", s"$root/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$root/out/data")
+        .select(col("url"), col("status"), col("format"),
+          length(col("fullText")).as("text_chars"))
+        .orderBy(col("url"))
+    }),
+
     // ------------------------------------------ quality (rows-only)
 
     "quality_scores" -> ((s, dir) => {

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.extract.Pipeline
+
+/** Structured-Streaming ingest — the Spark re-expression of the
+  * reference's work-queue streaming design (SURVEY.md §2.8): the poll
+  * loop (`api/pipeline.py:375-400`, `local_queue.py:585-601`) becomes a
+  * file-source micro-batch stream (new parquet files = new jobs);
+  * visibility-timeout/crash recovery (`local_queue.py:236-269`) becomes
+  * the streaming checkpoint + task retries (exactly-once per batch);
+  * the append-only events table (`local_queue.py:177-186`) becomes the
+  * per-batch lineage append in `foreachBatch`.
+  *
+  * At cluster scale the same code runs continuously (ProcessingTime
+  * trigger) over an Iceberg/file source landing zone; `AvailableNow`
+  * drains the backlog and stops — used by tests and by catch-up runs.
+  */
+object StreamingExtract {
+
+  /** Input schema per BASELINE.json input_hint (file sources need an
+    * explicit schema — no inference at stream start). */
+  val inputSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Start the extraction stream: parquet files arriving under `inputDir`
+    * → typed extraction → append to `outDir/data`, with per-batch lineage
+    * rows appended to `outDir/_metrics`. Exactly-once per micro-batch via
+    * the streaming checkpoint (re-delivered batches rewrite the same
+    * batchId — dedup downstream on batch_id if the sink is reused).
+    *
+    * `maxFilesPerTrigger` bounds micro-batch size so one pathological
+    * landing burst cannot blow executor memory (the streaming analog of
+    * the per-partition size budget, SURVEY.md §4.2). */
+  def start(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String, availableNow: Boolean = true,
+      maxFilesPerTrigger: Int = 64,
+      oversizeBudgetBytes: Long = Pipeline.DefaultOversizeBudget): StreamingQuery = {
+    import spark.implicits._
+
+    val stream = spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val results = Pipeline.run(batch, oversizeBudgetBytes).persist()
+          try {
+            results.write.mode("append").parquet(s"$outDir/data")
+            // lineage event row per micro-batch (events-table analog)
+            results.groupBy()
+              .agg(count(lit(1)).as("docCount"),
+                sum(when(col("status") === "ok", 1L).otherwise(0L)).as("okCount"),
+                sum(when(col("status") === "error" || col("status") === "oversize", 1L)
+                  .otherwise(0L)).as("failCount"),
+                sum(col("sizeBytes")).as("inputBytes"))
+              .withColumn("batchId", lit(batchId))
+              .write.mode("append").parquet(s"$outDir/_metrics")
+          } finally results.unpersist()
+        }
+        ()
+      }
+
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Event-time windowed roll-up with a watermark — the streaming form of
+    * the daily-stats aggregation (`local_queue.py:222-229`): one row per
+    * (day window, status) with doc and byte counts, late data beyond the
+    * watermark dropped. Demonstrates watermark + windowed agg over the
+    * extraction results stream. */
+  def dailyStats(results: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    results
+      .withWatermark("warcTs", watermark)
+      .groupBy(window(col("warcTs"), "1 day").as("day"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sizeBytes")).as("total_bytes"))
+      .select(col("day.start").as("day"), col("status"),
+        col("n_docs"), col("total_bytes"))
+  }
+}
