@@ -206,6 +206,22 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // ------------------------- table enhancement V1-V6 (rows-only)
+
+    "tables_enhanced" -> ((s, dir) => {
+      val corpus = CorpusGen.generate(s, 500, partitions = 8).toDF()
+      Pipeline.run(corpus)
+        .select(col("url"), explode(col("tables")).as("t"))
+        .select(col("url"), col("t.tableId").as("table_id"),
+          col("t.rows"), col("t.cols"), col("t.hasHeader").as("has_header"),
+          col("t.isFinancial").as("is_financial"),
+          col("t.hasTotalRow").as("has_total_row"),
+          length(col("t.html")).as("html_chars"),
+          length(col("t.csv")).as("csv_chars"),
+          md5(col("t.markdown")).as("md_digest"))
+        .orderBy(col("url"))
+    }),
+
     // -------------------------------------- dedup family (rows-only)
 
     "minhash_pairs" -> ((s, dir) => {

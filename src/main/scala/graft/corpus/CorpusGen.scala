@@ -167,9 +167,24 @@ $related
     }
   }
 
+  /** Ruled-table fixture matrix (row k==84): header row + data rows with
+    * currency cells + a total row — exercises V1 header detection, V2
+    * typing, V4 financial/total flags, E9 grid reconstruction. */
+  def tableMatrix(i: Long): Seq[Seq[String]] = {
+    val r = rng(i * 13 + 5)
+    val en = wordPool("en")
+    val dataRows = (0 until 2 + r.nextInt(2)).map { _ =>
+      Seq(en(r.nextInt(en.length)), (1 + r.nextInt(90)).toString,
+        s"$$${10 + r.nextInt(900)}.${10 + r.nextInt(90)}")
+    }
+    val total = s"$$${100 + r.nextInt(900)}.00"
+    Seq("Name", "Qty", "Price") +: dataRows :+ Seq("Total", "", total)
+  }
+
   def pdfPayload(i: Long): Array[Byte] = {
     val k = i % 100
-    PdfWriter.build(pdfLines(i), flate = k >= 85 && k <= 87, withSignature = k == 88)
+    PdfWriter.build(pdfLines(i), flate = k >= 85 && k <= 87, withSignature = k == 88,
+      table = if (k == 84) Some(tableMatrix(i)) else None)
   }
 
   // ----------------------------------------------------- expected contract
@@ -180,6 +195,13 @@ $related
     case k if k < 70 =>
       val (title, paras) = htmlContent(i)
       Some((title +: paras).mkString("\n"))
+    case 84 => // ruled-table PDF: cell runs extract after the page-1 lines
+      val pages = pdfLines(i)
+      val tableLines = tableMatrix(i)
+        .map(_.filter(_.nonEmpty).mkString(" ")).filter(_.nonEmpty)
+      val page1 = pages.head ++ tableLines
+      Some((page1 +: pages.tail.map(_.toSeq))
+        .map(_.mkString("\n")).mkString("\n\n--- PAGE BREAK ---\n\n"))
     case k if k < 89 =>
       Some(pdfLines(i).map(_.mkString("\n")).mkString("\n\n--- PAGE BREAK ---\n\n"))
     case 89 => None // truncated PDF

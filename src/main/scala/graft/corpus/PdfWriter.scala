@@ -28,11 +28,54 @@ object PdfWriter {
     out.toByteArray
   }
 
+  /** Table layout constants (ruled-grid fixtures, SURVEY.md E9). */
+  val TableTop = 400.0
+  val TableLeft = 72.0
+  val RowH = 20.0
+  val ColW = 100.0
+
+  /** Content-stream ops for a ruled table: grid lines as thin filled
+    * `re` rects + one text run per non-empty cell. Cell (r, c) baseline
+    * sits inside row band r, column band c, so PdfTables.detect
+    * reconstructs the matrix exactly. */
+  private def tableOps(matrix: Seq[Seq[String]]): String = {
+    val nRows = matrix.length
+    val nCols = if (matrix.isEmpty) 0 else matrix.map(_.length).max
+    val sb = new StringBuilder
+    // horizontal rules (nRows+1) and vertical rules (nCols+1)
+    (0 to nRows).foreach { i =>
+      val y = TableTop - i * RowH
+      sb.append(s"${fmt(TableLeft)} ${fmt(y - 0.5)} ${fmt(nCols * ColW)} 1 re f\n")
+    }
+    (0 to nCols).foreach { j =>
+      val x = TableLeft + j * ColW
+      sb.append(s"${fmt(x - 0.5)} ${fmt(TableTop - nRows * RowH)} 1 ${fmt(nRows * RowH)} re f\n")
+    }
+    sb.append("BT\n/F1 10 Tf\n")
+    matrix.zipWithIndex.foreach { case (row, r) =>
+      row.zipWithIndex.foreach { case (cell, c) =>
+        if (cell.nonEmpty) {
+          val x = TableLeft + c * ColW + 4
+          val y = TableTop - r * RowH - 14
+          sb.append(s"1 0 0 1 ${fmt(x)} ${fmt(y)} Tm\n(${esc(cell)}) Tj\n")
+        }
+      }
+    }
+    sb.append("ET\n")
+    sb.toString
+  }
+
+  private def fmt(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+
   /** Build a PDF whose page texts are `pages` (each page = list of lines,
     * ASCII). Line i of a page is shown at y = 720 - 14*i via Td/Tj, so
-    * reading order (and thus extracted text) is the given line order. */
+    * reading order (and thus extracted text) is the given line order.
+    * `table` draws a ruled grid + cell text on page 1 (below the lines,
+    * so it extracts after them). */
   def build(pages: Seq[Seq[String]], flate: Boolean = false,
-      withSignature: Boolean = false): Array[Byte] = {
+      withSignature: Boolean = false,
+      table: Option[Seq[Seq[String]]] = None): Array[Byte] = {
     val nPages = pages.length
     // object numbering: 1 catalog, 2 pages, 3 font, then per page: page obj, content obj
     val pageObjNums = (0 until nPages).map(i => 4 + i * 2)
@@ -57,6 +100,7 @@ object PdfWriter {
         content.append(s"1 0 0 1 72 $y Tm\n(${esc(line)}) Tj\n")
       }
       content.append("ET\n")
+      if (i == 0) table.foreach(m => content.append(tableOps(m)))
       val raw = content.toString.getBytes(StandardCharsets.ISO_8859_1)
       val (data, filter) = if (flate) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
       val head = s"<< /Length ${data.length}$filter >>\nstream\n".getBytes(StandardCharsets.US_ASCII)

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import graft.analyzers.{LangScript, PyText, TextAnalyzer}
 import graft.html.Boilerplate
-import graft.pdf.PdfParser
+import graft.pdf.{PdfParser, PdfTables}
 
 /** Per-document extraction: format sniff → route → parse → assemble the
   * DocResult tree. Pure function of the payload bytes — runs inside a
@@ -72,11 +72,18 @@ object Extractor {
           val doc = PdfParser.parse(bytes)
           if (doc.status == "error")
             errorResult(url, warcTs, langHint, format, hash, bytes.length, doc.error)
-          else assemble(url, warcTs, langHint, format, hash, bytes.length,
-            title = "",
-            pageTexts = doc.pages.map(_.text),
-            pageBlocks = doc.pages.map(p => Vector(("paragraph", p.text))),
-            signatures = doc.signatures.map(s => SignatureOut(s.fieldName, s.signed)))
+          else {
+            // E9: ruled tables from content-stream grid geometry
+            val tables = doc.pages.flatMap(PdfTables.detect(_)).zipWithIndex.map {
+              case (t, idx) => toTableOut(t.matrix.map(_.toSeq), t.page, idx)
+            }
+            assemble(url, warcTs, langHint, format, hash, bytes.length,
+              title = "",
+              pageTexts = doc.pages.map(_.text),
+              pageBlocks = doc.pages.map(p => Vector(("paragraph", p.text))),
+              signatures = doc.signatures.map(s => SignatureOut(s.fieldName, s.signed)),
+              tables = tables)
+          }
         case _ =>
           val htmlStr = new String(bytes, StandardCharsets.UTF_8)
           val dom = graft.html.DomBuilder.parse(htmlStr)
@@ -90,13 +97,17 @@ object Extractor {
                      else "paragraph"
             (bt, b.text)
           }
+          val htmlTables = graft.html.HtmlTables.extract(dom)
+            .filter(_.nonEmpty).zipWithIndex
+            .map { case (m, idx) => toTableOut(m.map(_.toSeq), page = 1, idx) }
           if (pageText.isEmpty)
             emptyResult(url, warcTs, langHint, format, hash, bytes.length)
           else assemble(url, warcTs, langHint, format, hash, bytes.length,
             title = title,
             pageTexts = Vector(pageText),
             pageBlocks = Vector(typed),
-            signatures = Vector.empty)
+            signatures = Vector.empty,
+            tables = htmlTables)
       }
     } catch {
       case e: Exception =>
@@ -108,10 +119,17 @@ object Extractor {
   /** Assemble the full DocResult from per-page text + typed blocks.
     * Lines within a block = non-empty stripped '\n'-splits, 1-based per
     * page (E1/E5); spans are char offsets into the page rawText. */
+  /** V1–V6 enhancement of a detected raw matrix → flat TableOut row. */
+  private def toTableOut(matrix: Seq[Seq[String]], page: Int, idx: Int): TableOut = {
+    val t = graft.tables.Tables.enhance(matrix, page, idx)
+    TableOut(t.tableId, t.page, t.rows, t.cols, t.hasHeader, t.headers,
+      t.data, t.isFinancial, t.hasTotalRow, t.toHtml, t.toMarkdown, t.toCsv)
+  }
+
   private def assemble(url: String, warcTs: Timestamp, langHint: String,
       format: String, hash: String, size: Long, title: String,
       pageTexts: Seq[String], pageBlocks: Seq[Seq[(String, String)]],
-      signatures: Seq[SignatureOut]): DocResult = {
+      signatures: Seq[SignatureOut], tables: Seq[TableOut] = Nil): DocResult = {
 
     val pages = pageTexts.zipWithIndex.map { case (rawText, pi) =>
       var lineNo = 0
@@ -192,7 +210,8 @@ object Extractor {
       avgConfidence = avgConf,
       confidenceLevel = LangScript.confidenceLevel(avgConf),
       clarity = clarityV, sourceType = sourceV,
-      schemaVersion = "2.1")
+      schemaVersion = "2.1",
+      tables = tables)
   }
 
   private def emptyResult(url: String, warcTs: Timestamp, langHint: String,

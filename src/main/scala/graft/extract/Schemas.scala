@@ -37,6 +37,23 @@ final case class PageOut(
 
 final case class SignatureOut(fieldName: String, signed: Boolean)
 
+/** Enhanced table (SURVEY.md §2.5 V1–V6): detected matrix + header
+  * detection + financial flags + the three reconstruction renders
+  * (HTML / Markdown / Python-csv.writer-parity CSV). */
+final case class TableOut(
+    tableId: String,
+    page: Int,
+    rows: Int,
+    cols: Int,
+    hasHeader: Boolean,
+    headers: Seq[String],
+    data: Seq[Seq[String]],
+    isFinancial: Boolean,
+    hasTotalRow: Boolean,
+    html: String,
+    markdown: String,
+    csv: String)
+
 final case class WordCloudOut(word: String, count: Int, percentage: Double)
 
 final case class DocResult(
@@ -70,4 +87,5 @@ final case class DocResult(
     confidenceLevel: String,   // certain|high|medium|low|uncertain (T16)
     clarity: String,           // excellent|good|fair|poor (T17)
     sourceType: String,        // digital|ocr|hybrid (T17)
-    schemaVersion: String)     // "2.1" (intermediate_format.py:539 + upgrade)
+    schemaVersion: String,     // "2.1" (intermediate_format.py:539 + upgrade)
+    tables: Seq[TableOut] = Nil) // enhanced tables (§2.5 V1-V6, E9)

@@ -40,7 +40,14 @@ object PdfParser {
 
   final case class SigField(fieldName: String, signed: Boolean)
   final case class PdfLine(text: String, x: Double, y: Double)
-  final case class PdfPage(number: Int, lines: Vector[PdfLine]) {
+  /** A positioned text run (pre-line-clustering) — input to table-cell
+    * assignment (E9). */
+  final case class TextRun(text: String, x: Double, y: Double)
+  /** An `x y w h re` rectangle from the content stream — ruled-table
+    * grid lines are thin rects (SURVEY.md E9). */
+  final case class Rect(x: Double, y: Double, w: Double, h: Double)
+  final case class PdfPage(number: Int, lines: Vector[PdfLine],
+      runs: Vector[TextRun] = Vector.empty, rects: Vector[Rect] = Vector.empty) {
     def text: String = lines.map(_.text).mkString("\n")
   }
   final case class PdfDoc(
@@ -56,8 +63,8 @@ object PdfParser {
       val pageDicts = findPages(resolver)
       val pages = pageDicts.zipWithIndex.map { case (pd, i) =>
         val content = contentBytes(pd, resolver)
-        val lines = extractLines(content)
-        PdfPage(i + 1, lines)
+        val (lines, runs, rects) = extractContent(content)
+        PdfPage(i + 1, lines, runs, rects)
       }
       val sigs = findSignatures(resolver)
       PdfDoc(pages, sigs, "ok", "")
@@ -424,13 +431,14 @@ object PdfParser {
 
   // ----------------------------------------------------- content stream ops
 
-  private final case class Run(text: String, x: Double, y: Double)
-
   /** Execute the text operators of one page's content stream, collecting
     * positioned text runs; cluster into lines by y (tolerance 2pt, PDF
-    * y-axis points up so reading order = y descending), x ascending. */
-  private def extractLines(content: Array[Byte]): Vector[PdfLine] = {
-    val runs = new ArrayBuffer[Run](32)
+    * y-axis points up so reading order = y descending), x ascending.
+    * Also collects `re` rectangles (ruled-table grid lines, E9). */
+  private def extractContent(content: Array[Byte])
+      : (Vector[PdfLine], Vector[TextRun], Vector[Rect]) = {
+    val runs = new ArrayBuffer[TextRun](32)
+    val rects = new ArrayBuffer[Rect](8)
     val lexer = new ContentLexer(content)
 
     // text state
@@ -441,7 +449,7 @@ object PdfParser {
 
     def showText(bytes: Array[Byte]): Unit = {
       val s = new String(bytes, StandardCharsets.ISO_8859_1)
-      if (s.nonEmpty) runs += Run(s, tm.e, tm.f)
+      if (s.nonEmpty) runs += TextRun(s, tm.e, tm.f)
       // glyph-width advance is not tracked (fixtures position runs explicitly)
     }
 
@@ -489,7 +497,10 @@ object PdfParser {
                   showText(sb.toArray)
                 case _ =>
               }
-            case _ => // non-text operator — ignored
+            case "re" if operands.length >= 4 =>
+              val o = operands.takeRight(4).map(num)
+              rects += Rect(o(0), o(1), o(2), o(3))
+            case _ => // other non-text operator — ignored
           }
           operands.clear()
       }
@@ -498,7 +509,7 @@ object PdfParser {
 
     // cluster runs into lines: group by y within 2pt, order top-to-bottom then left-to-right
     val sorted = runs.toVector.sortBy(r => (-r.y, r.x))
-    val lines = new ArrayBuffer[(Double, Double, ArrayBuffer[Run])](16) // (ySum, count, runs)
+    val lines = new ArrayBuffer[(Double, Double, ArrayBuffer[TextRun])](16) // (ySum, count, runs)
     sorted.foreach { r =>
       lines.lastOption match {
         case Some((ySum, count, rs)) if math.abs(ySum / count - r.y) <= 2.0 =>
@@ -508,10 +519,11 @@ object PdfParser {
           lines += ((r.y, 1.0, ArrayBuffer(r)))
       }
     }
-    lines.toVector.map { case (ySum, count, rs) =>
+    val pdfLines = lines.toVector.map { case (ySum, count, rs) =>
       val ordered = rs.toVector.sortBy(_.x)
       PdfLine(ordered.map(_.text).mkString(" "), ordered.head.x, ySum / count)
     }
+    (pdfLines, runs.toVector, rects.toVector)
   }
 
   private def num(o: PdfObj): Double = o match { case PNum(v) => v; case _ => 0.0 }
