@@ -242,7 +242,35 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "ngram_jaccard_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val jittered = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+      Dedup.ngramJaccardDupPairs(docs.union(jittered).limit(4000), "doc_id", "text",
+          threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---------------------------------- similarity search (rows-only)
+
+    "embedding_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      import s.implicits._
+      val jittered = emb.limit(500).as[(Long, Seq[Float], String)]
+        .map { case (id, v, l) => (id + 10000000L, v.updated(0, v.head + 0.01f), l) }
+        .toDF("vec_id", "embedding", "label")
+      Similarity.cosineDupPairs(emb.limit(500).union(jittered), threshold = 0.99)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 16, nProbe = 4)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

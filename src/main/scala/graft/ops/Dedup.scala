@@ -150,6 +150,33 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** MinHash-LSH candidates verified by EXACT n-gram Jaccard (not the
+    * signature estimate): candidate (id_a, id_b) pairs join back to the
+    * text table by id — the wide text column moves only for the
+    * candidate set (tiny vs the corpus), never for the full cross
+    * product. The standard two-stage exact-near-dup pipeline. */
+  def ngramJaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // candidate generation at a permissive signature threshold
+    val cands = minhashDupPairs(df, idCol, textCol, numHashes, bands, shingleK,
+      threshold = math.max(0.0, threshold - 0.2), maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+    val texts = df.select(col(idCol).cast("long").as("tid"), col(textCol).as("ttext"))
+    cands
+      .join(texts.withColumnRenamed("tid", "id_a").withColumnRenamed("ttext", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("tid", "id_b").withColumnRenamed("ttext", "text_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .map { case (ia, ib, ta, tb) => (ia, ib, ngramJaccard(ta, tb, shingleK)) }
+      .toDF("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        org.apache.spark.sql.functions.round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (weight 1 each). */

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftExtensions
+import graft.ops.{Dedup, Similarity}
+
+/** New similarity/dedup operators: native codegen'd cosine Expression,
+  * IVF ANN, embedding near-dup pairs, exact n-gram-Jaccard dedup. */
+class SimilarityDedupSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("graft_cosine native Expression equals the higher-order-function form") {
+    GraftExtensions.register(spark)
+    // fail loudly if the generated code does not compile (no silent
+    // interpreted fallback)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val pairs = emb.as("a").join(emb.as("b"),
+          col("a.vec_id") + 1 === col("b.vec_id"))
+        .select(col("a.vec_id").as("id"),
+          GraftExtensions.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+          Similarity.cosineExpr("a.embedding", "b.embedding").as("hof"))
+      val rows = pairs.as[(Long, Double, Double)].collect()
+      assert(rows.length > 100)
+      rows.foreach { case (_, n, h) => assert(math.abs(n - h) < 1e-12) }
+      // SQL registration path
+      emb.createOrReplaceTempView("emb_cos_test")
+      val viaSql = spark.sql(
+        "SELECT graft_cosine(embedding, embedding) AS c FROM emb_cos_test LIMIT 5")
+        .as[Double].collect()
+      viaSql.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("IVF with nProbe == nCentroids degrades to exact brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val ivfAll = Similarity.ivfTopK(emb, queries, k = 5,
+        nCentroids = 8, nProbe = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivfAll == brute)
+  }
+
+  test("IVF with partial probes keeps reasonable recall") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
+  }
+
+  test("embedding-cosine near-dup pairs find planted duplicates") {
+    // plant: vec_id+10000 = same vector with one coordinate nudged
+    val jittered = emb.limit(200).as[(Long, Seq[Float], String)]
+      .map { case (id, v, l) =>
+        (id + 10000, v.updated(0, v.head + 0.01f), l)
+      }.toDF("vec_id", "embedding", "label")
+    val all = emb.limit(200).union(jittered)
+    val pairs = Similarity.cosineDupPairs(all, threshold = 0.99)
+      .as[(Long, Long, Double)].collect()
+    val planted = pairs.filter { case (a, b, _) => b - a == 10000 }
+    assert(planted.length >= 150, s"found only ${planted.length}/200 planted pairs")
+    pairs.foreach { case (_, _, c) => assert(c >= 0.99) }
+  }
+
+  test("exact n-gram Jaccard dedup verifies minhash candidates") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    val jittered = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" extra tail words")).as("text"))
+    val pairs = Dedup.ngramJaccardDupPairs(docs.union(jittered), "doc_id", "text",
+        threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+    val planted = pairs.filter { case (a, b, _) => b - a == 1000000 }
+    assert(planted.length >= 250, s"found only ${planted.length}/300 planted pairs")
+    // jaccard is the exact value, not the signature estimate
+    planted.foreach { case (_, _, j) => assert(j >= 0.6 && j <= 1.0) }
+  }
+}
