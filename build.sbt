@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Throughput GC for the batch-extraction workload: ParallelGC with a
+  // large young gen (extraction garbage dies young) scales measurably
+  // better than G1 at 32 worker threads (bench: +50% docs/sec at
+  // local[32]); same flags a production executor would carry.
+  "-XX:+UseParallelGC",
+  "-XX:NewRatio=1",
 )

@@ -14,10 +14,19 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // the bench corpus is many small (<1 MB) files; default 128 MB
+      // maxPartitionBytes + 4 MB openCost bin-packs them into ~2 input
+      // splits, serializing the scan regardless of core count (parquet
+      // can't split below a row group, so files are the floor). Pin
+      // openCost = maxPartitionBytes so each file is its own task —
+      // cores*4 waves of evenly-sized tasks (at 100 TB the data provides
+      // the splits; at bench scale the config must).
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (4 * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -38,41 +47,63 @@ object Bench {
     }
 
     // ---- phase 2: extraction scaling, same corpus parquet, 8 vs 32 ----
-    // Sized so the c32 extraction leg runs >=10s wall — short runs are
+    // Sized so the c32 extraction leg runs ~8s wall — short runs are
     // dominated by fixed stage-launch overhead and understate scaling
-    // efficiency (measured: 6k docs -> 2.7s -> eff 0.72; longer is fairer).
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "24000").toLong
+    // efficiency.
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "96000").toLong
     val corpusPath = s"/tmp/graft_bench_corpus_$nDocs"
     if (!Files.exists(Paths.get(corpusPath))) {
-      graft.corpus.CorpusGen.generate(spark, nDocs, partitions = 64)
+      // 128 files = 128 scan tasks (4 waves at 32 cores, 16 at 8) —
+      // enough waves that one straggler never gates a whole leg
+      graft.corpus.CorpusGen.generate(spark, nDocs, partitions = 128)
         .write.mode("overwrite").parquet(corpusPath)
     }
     val corpusBytes = dirBytes(corpusPath)
 
-    def extractionRun(s: SparkSession): (Double, Long) = {
+    def extractionRun(s: SparkSession, cores: Int): (Double, Long) = {
       val t0 = System.nanoTime()
-      val n = graft.extract.Pipeline.run(s.read.parquet(corpusPath))
+      val n = graft.extract.Pipeline
+        .run(s.read.parquet(corpusPath))
         .filter(org.apache.spark.sql.functions.col("status") =!= "error").count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
-    // warm once (JIT, parquet footer cache), then measure at 32
-    extractionRun(spark)
-    val (sec32, n32) = extractionRun(spark)
+    // Paired rounds, median efficiency: this VM's absolute speed drifts
+    // on multi-minute timescales (hypervisor neighbors), so independent
+    // per-leg minima can pair a lucky 8-core window with an unlucky
+    // 32-core one. Measuring both legs back-to-back inside one round
+    // cancels the drift; the median round is the reported number.
     spark.stop()
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    var warmed = false
+    val samples = (1 to rounds).map { _ =>
+      val s32 = newSession(cpus)
+      if (!warmed) { extractionRun(s32, cpus); warmed = true }
+      val r32 = extractionRun(s32, cpus)
+      s32.stop()
+      val s8 = newSession(8)
+      val r8 = extractionRun(s8, 8)
+      s8.stop()
+      (r32, r8, (r8._1 / r32._1) / 4.0) // eff = (thr32/thr8)/4 = (sec8/sec32)/4
+    }
+    val ((sec32, n32), (sec8, n8), _) = samples.sortBy(_._3).apply(rounds / 2)
 
-    spark = newSession(8)
-    extractionRun(spark) // warm new session
-    val (sec8, n8) = extractionRun(spark)
-    spark.stop()
+    // Hardware ceiling probe: the same 8-vs-32-thread ratio for pure
+    // register-ALU work (no memory traffic, no GC). On this virtualized
+    // box even that does not reach 1.0 — the probe makes the achievable
+    // ceiling explicit so the extraction efficiency can be read against
+    // it rather than against an ideal 4.0x the hardware never offers.
+    val cpuCeiling = cpuProbeEfficiency(cpus)
 
     val thr32 = n32 / sec32
     val thr8 = n8 / sec8
     val mbps32 = corpusBytes / 1e6 / sec32
     val mbps8 = corpusBytes / 1e6 / sec8
     val efficiency = (thr32 / thr8) / 4.0
+    val normalized = efficiency / cpuCeiling
 
-    writeBaselineMd(nDocs, corpusBytes, sec8, thr8, mbps8, sec32, thr32, mbps32, efficiency)
+    writeBaselineMd(nDocs, corpusBytes, sec8, thr8, mbps8, sec32, thr32,
+      mbps32, efficiency, cpuCeiling, normalized, samples.map(_._3))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -80,7 +111,39 @@ object Bench {
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""extraction_docs_per_sec_c32":${f"$thr32%.1f"},"extraction_mb_per_sec_c32":${f"$mbps32%.1f"},""" +
-      s""""extraction_docs_per_sec_c8":${f"$thr8%.1f"},"scaling_efficiency_8_to_32":${f"$efficiency%.3f"}}""")
+      s""""extraction_docs_per_sec_c8":${f"$thr8%.1f"},"scaling_efficiency_8_to_32":${f"$efficiency%.3f"},""" +
+      s""""cpu_probe_efficiency_8_to_32":${f"$cpuCeiling%.3f"},"scaling_efficiency_vs_hw_ceiling":${f"$normalized%.3f"}}""")
+  }
+
+  /** 8-vs-N-thread throughput ratio of a pure LCG hash loop (plain Java
+    * threads, zero allocation) = the parallel-compute ceiling this VM
+    * actually provides between the two parallelism levels. */
+  private def cpuProbeEfficiency(hi: Int): Double = {
+    def work(seed: Long, iters: Long): Long = {
+      var h = seed; var i = 0L
+      while (i < iters) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        h ^= h >>> 33
+        i += 1
+      }
+      h
+    }
+    def gops(threads: Int, total: Long): Double = {
+      val per = total / threads
+      val ts = (0 until threads).map { t =>
+        val th = new Thread(() => { val r = work(t, per); if (r == 42) println(r) })
+        th.start(); th
+      }
+      val t0 = System.nanoTime()
+      // threads already started before t0 is irrelevant at these durations
+      ts.foreach(_.join())
+      total / ((System.nanoTime() - t0) / 1e9)
+    }
+    val base = 4_000_000_000L
+    gops(8, base / 2) // warm
+    val g8 = gops(8, base)
+    val gHi = gops(hi, base * (hi / 8))
+    (gHi / g8) / (hi / 8.0)
   }
 
   private def dirBytes(path: String): Long = {
@@ -91,14 +154,19 @@ object Bench {
 
   private def writeBaselineMd(nDocs: Long, bytes: Long, sec8: Double,
       thr8: Double, mbps8: Double, sec32: Double, thr32: Double,
-      mbps32: Double, eff: Double): Unit = {
+      mbps32: Double, eff: Double, cpuCeiling: Double, normalized: Double,
+      allRoundEffs: Seq[Double]): Unit = {
+    val rounds = allRoundEffs.map(e => f"$e%.3f").mkString(", ")
     val md =
       s"""# BENCH/BASELINE — measured extraction throughput (graft.Bench)
          |
          |Corpus: $nDocs synthesized docs (HTML+PDF mix, FIXTURES.md §1),
-         |${f"${bytes / 1e6}%.1f"} MB parquet, read from disk (scan → typed
-         |mapPartitions extract → count). Same input, two parallelism levels
-         |(sandbox stand-in for N vs 4N executors per BASELINE.md).
+         |${f"${bytes / 1e6}%.1f"} MB parquet, 128 files = 128 scan tasks (one
+         |file per task; parquet row groups are the split floor). Pipeline:
+         |scan → typed mapPartitions extract → count. Both parallelism
+         |levels measured back-to-back inside each round (this VM's absolute
+         |speed drifts on multi-minute timescales); the reported row is the
+         |median-efficiency round of ${allRoundEffs.length}.
          |
          || parallelism | wall sec | docs/sec | MB/sec |
          ||---|---|---|---|
@@ -106,11 +174,22 @@ object Bench {
          || local[32] | ${f"$sec32%.2f"} | ${f"$thr32%.1f"} | ${f"$mbps32%.1f"} |
          |
          |**Scaling efficiency (8 → 32 cores, 4x): ${f"$eff%.3f"}**
-         |(target ≥ 0.8 per the north rule; 1.0 = perfect linear)
+         |(per-round samples: $rounds)
+         |
+         |**Hardware reference (pure-ALU probe, zero allocation, plain Java
+         |threads): ${f"$cpuCeiling%.3f"}** — the 8→32-thread parallel-compute
+         |ratio this virtualized box delivered during the probe window
+         |(1.0 = linear; hypervisor neighbors make it drift). Extraction
+         |efficiency normalized to the probe: **${f"$normalized%.3f"}**. The raw
+         |ratio above is reported unadjusted against the ≥ 0.8 north-rule
+         |target.
          |
          |Reference bar (BASELINE.md): deterministic direct extraction
          |0.5–2 s/page single-core Python → our per-core docs/sec at
          |local[8]: ${f"${thr8 / 8}%.1f"} docs/sec/core.
+         |
+         |JVM: ParallelGC, NewRatio=1 (build.sbt) — extraction garbage dies
+         |young; G1 cost ~50% of local[32] throughput at 32 worker threads.
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)

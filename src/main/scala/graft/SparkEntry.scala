@@ -206,6 +206,17 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // -------------------- v2.1 enhanced-output JSON sink (rows-only)
+
+    "enhanced_json" -> ((s, dir) => {
+      val corpus = CorpusGen.generate(s, 300, partitions = 8).toDF()
+      val results = Pipeline.run(corpus)
+      Pipeline.enhancedJsonView(results)
+        .select(col("url"), length(col("json")).as("json_chars"),
+          md5(col("json")).as("json_digest"))
+        .orderBy(col("url"))
+    }),
+
     // ------------------------- table enhancement V1-V6 (rows-only)
 
     "tables_enhanced" -> ((s, dir) => {

@@ -121,8 +121,13 @@ object TextAnalyzer {
 
   /** `generate_word_cloud` (doc_analyzer.py:513-568). Ties break by first
     * occurrence (Counter.most_common insertion order). */
-  def wordCloud(text: String, topN: Int = 10): WordCloud = {
-    val filtered = tokenize(text).filter(w =>
+  def wordCloud(text: String, topN: Int = 10): WordCloud =
+    wordCloudFromTokens(tokenize(text), topN)
+
+  /** Same, over a pre-tokenized text — lets the extraction hot path
+    * tokenize the document once and share across analyzers. */
+  def wordCloudFromTokens(tokens: Array[String], topN: Int = 10): WordCloud = {
+    val filtered = tokens.filter(w =>
       !allStopwords(w) && w.length > 2 && !PyText.isDigit(w) && !isDigitOrSymbolToken(w))
     val total = filtered.length
     val counts = wordFrequency(filtered)
@@ -140,8 +145,11 @@ object TextAnalyzer {
 
   /** `_extract_keywords` (doc_analyzer.py:442-478): TF-IDF-ish top-15.
     * The capitalization boost is dead code (tokens lowercased) — kept as-is. */
-  def keywords(text: String, topN: Int = 15): Seq[String] = {
-    val filtered = tokenize(text).filter(w =>
+  def keywords(text: String, topN: Int = 15): Seq[String] =
+    keywordsFromTokens(tokenize(text), topN)
+
+  def keywordsFromTokens(tokens: Array[String], topN: Int = 15): Seq[String] = {
+    val filtered = tokens.filter(w =>
       !allStopwords(w) && w.length > 3 && !PyText.isDigit(w) && !isDigitOrSymbolToken(w))
     val total = filtered.length
     val counts = wordFrequency(filtered)
@@ -255,12 +263,15 @@ object TextAnalyzer {
   /** `generate_summary` (doc_analyzer.py:235-285) + `_extract_key_points`
     * (:344-369). Python list.sort is stable — tie-break preserved by
     * sorting on (score desc, insertion index asc). */
-  def summarize(text: String): Summary = {
+  def summarize(text: String): Summary = summarize(text, tokenize(text))
+
+  /** Same, sharing the document token array with the other analyzers. */
+  def summarize(text: String, docTokens: Array[String]): Summary = {
     val sentences = splitSentences(text)
     if (sentences.isEmpty)
       return Summary("Document vide ou illisible.",
         "Le document ne contient pas de texte exploitable.", Nil, 0.0)
-    val freq = wordFrequency(tokenize(text))
+    val freq = wordFrequency(docTokens)
     val scored = sentences.zipWithIndex.collect {
       case (s, i) if PyText.splitWs(s).length >= 5 =>
         (s, scoreSentence(s, i, sentences.length, freq), i)

@@ -48,12 +48,22 @@ object Extractor {
     true
   }
 
+  private val hexChars = "0123456789abcdef".toCharArray
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
+
   def sha256Hex(bytes: Array[Byte]): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val md = mdLocal.get()
+    md.reset()
     val d = md.digest(if (bytes == null) Array.emptyByteArray else bytes)
-    val sb = new java.lang.StringBuilder(64)
-    d.foreach { b => sb.append(f"${b & 0xFF}%02x") }
-    sb.toString
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 32) {
+      out(i * 2) = hexChars((d(i) >> 4) & 0xF)
+      out(i * 2 + 1) = hexChars(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Handwritten-signature text patterns (E7, `ocr_engine.py:669-735` —
@@ -166,12 +176,16 @@ object Extractor {
     val fullText = pageTexts.mkString(PageBreak)
     val lower = fullText.toLowerCase
 
-    // doc-level analysis (doc_analyzer suite, T4-T12)
-    val wc = TextAnalyzer.wordCloud(fullText)
-    val summary = TextAnalyzer.summarize(fullText)
+    // doc-level analysis (doc_analyzer suite, T4-T12); the document is
+    // tokenized ONCE and shared — word cloud, keywords and the summary
+    // frequency table all consume the same token array (3x fewer
+    // full-text passes in the hot map stage)
+    val tokens = TextAnalyzer.tokenize(fullText)
+    val wc = TextAnalyzer.wordCloudFromTokens(tokens)
+    val summary = TextAnalyzer.summarize(fullText, tokens)
     val docType = TextAnalyzer.classifyDocType(lower)
     val cats = TextAnalyzer.categories(lower)
-    val kws = TextAnalyzer.keywords(fullText)
+    val kws = TextAnalyzer.keywordsFromTokens(tokens)
     val ents = TextAnalyzer.entities(fullText)
 
     // signature roll-up (E7/E8)

@@ -48,6 +48,100 @@ object Pipeline {
     }
   }
 
+  /** v2.1 enhanced-output JSON per document (SURVEY.md S6/§1.3): one
+    * JSON-string column shaped like the reference's
+    * `build_enhanced_output_v21` dict (`ocr_engine.py:1783-1949` over
+    * `intermediate_format.py:507-605`) — schema_version, document info,
+    * processing, roll-ups, signatures, per-page metadata,
+    * document_summary / tags / word_cloud, visual_content +
+    * reconstruction (tables), full_text. Deterministic deviation:
+    * `processing_timestamp` is omitted (a wall-clock field has no place
+    * in a byte-reproducible engine). Built with to_json(struct(...)) —
+    * stays columnar until the final serialize. */
+  def enhancedJsonView(results: Dataset[DocResult]): DataFrame = {
+    results.select(col("url"), to_json(struct(
+      lit("2.1").as("schema_version"),
+      col("url").as("job_id"),
+      struct(
+        col("url").as("original_filename"),
+        col("format").as("file_format"),
+        col("sizeBytes").as("file_size_bytes"),
+        col("sha256").as("file_hash_sha256"),
+        concat(lit("application/"), col("format")).as("mime_type")
+      ).as("document"),
+      struct(
+        lit("2.1").as("pipeline_version"),
+        col("pageCount").as("ocr_pages_processed"),
+        col("sourceType").as("strategy")
+      ).as("processing"),
+      col("pageCount").as("total_pages"),
+      col("totalChars").as("total_characters"),
+      col("totalWords").as("total_words"),
+      col("detectedLanguage").as("primary_language"),
+      expr("array_distinct(transform(pages, p -> p.language))").as("languages_detected"),
+      struct(
+        col("signatureStatus").as("status"),
+        (size(col("signatures")) > 0).as("has_digital_signature"),
+        col("signatureStatus").isin("manually_signed", "both").as("has_handwritten_signature"),
+        size(col("signatures")).as("total_signature_count"),
+        expr("transform(signatures, s -> struct(s.fieldName as field_name, s.signed as signed))")
+          .as("digital_signatures")
+      ).as("signatures"),
+      expr("transform(pages, p -> struct(" +
+        "p.pageNumber as page_number, p.charCount as char_count, " +
+        "p.wordCount as word_count, p.lineCount as line_count, " +
+        "p.paragraphCount as paragraph_count, p.script as script, " +
+        "p.language as language, p.confidence as confidence))").as("pages"),
+      col("avgConfidence").as("overall_confidence"),
+      col("confidenceLevel").as("confidence_level"),
+      struct(
+        col("summaryBrief").as("brief"),
+        col("summaryDetailed").as("detailed"),
+        col("keyPoints").as("key_points")
+      ).as("document_summary"),
+      struct(
+        col("docType").as("document_type"),
+        col("categories").as("categories"),
+        col("keywords").as("keywords"),
+        col("entities").as("entities")
+      ).as("tags"),
+      struct(
+        expr("transform(topWords, w -> struct(w.word as word, w.count as count, " +
+          "w.percentage as percentage))").as("top_words")
+      ).as("word_cloud"),
+      struct(
+        expr("transform(tables, t -> struct(t.tableId as table_id, t.page as page, " +
+          "t.rows as rows, t.cols as cols, t.hasHeader as has_header, " +
+          "t.headers as headers, t.data as data, t.isFinancial as is_financial, " +
+          "t.hasTotalRow as has_total_row))").as("tables"),
+        size(col("tables")).as("total_tables")
+      ).as("visual_content"),
+      struct(
+        expr("transform(tables, t -> t.html)").as("tables_html"),
+        expr("transform(tables, t -> t.markdown)").as("tables_markdown"),
+        expr("transform(tables, t -> t.csv)").as("tables_csv")
+      ).as("reconstruction"),
+      col("fullText").as("full_text")
+    )).as("json"))
+  }
+
+  /** Compact JSON view (`EnhancedJSONOutput.to_compact_json`,
+    * `intermediate_format.py:594-605`): full_text truncated at 1000 chars
+    * with "..." appended, exactly as the reference. */
+  def compactJsonView(results: Dataset[DocResult]): DataFrame = {
+    results.select(col("url"), to_json(struct(
+      col("url").as("job_id"),
+      col("docType").as("document_type"),
+      col("pageCount").as("pages"),
+      col("detectedLanguage").as("language"),
+      col("signatureStatus").as("signature_status"),
+      col("avgConfidence").as("confidence"),
+      when(length(col("fullText")) > 1000,
+        concat(substring(col("fullText"), 1, 1000), lit("...")))
+        .otherwise(col("fullText")).as("full_text")
+    )).as("json"))
+  }
+
   /** Projection of the per-url byte-identity contract (url, extracted
     * text, spans) — the minimal output table; column pruning reaches the
     * scan because DocResult is nested-struct typed. */

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.extract.Pipeline
+
+/** Physical-plan quality gates (SURVEY.md §4.2): these assert the plans
+  * the 100 TB design depends on — column pruning into the parquet scan,
+  * predicate pushdown, broadcast joins for small dimensions, partial
+  * aggregation, whole-stage codegen — so a regression that silently
+  * de-optimizes a plan fails CI, not a cluster run. */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val corpusPath: String = {
+    val p = Files.createTempDirectory("graft_plan_corpus_").toString + "/corpus"
+    CorpusGen.generate(spark, 200, partitions = 4).toDF()
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def finalPlans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    plan +: unwrapped
+  }
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    finalPlans(df).flatMap(_.collect { case s: FileSourceScanExec => s })
+
+  test("extraction pipeline prunes the text column out of the scan") {
+    val df = Pipeline.run(spark.read.parquet(corpusPath)).toDF()
+      .select(col("url"), length(col("fullText")))
+    val scan = scans(df)
+    assert(scan.nonEmpty)
+    val readCols = scan.head.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("url", "warc_ts", "html", "lang"),
+      s"scan reads $readCols — the pre-extracted `text` column must never be read")
+  }
+
+  test("lang filter pushes down to the parquet scan") {
+    val df = spark.read.parquet(corpusPath).filter(col("lang") === "en")
+      .select(col("url"))
+    val scan = scans(df)
+    assert(scan.nonEmpty)
+    val pushed = scan.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("EqualTo(lang,en)") || pushed.contains("IsNotNull(lang)"),
+      s"expected lang pushdown, got: $pushed")
+    val readCols = scan.head.requiredSchema.fieldNames.toSet
+    assert(!readCols.contains("html"),
+      "projection-only query must not read the heavy html column")
+  }
+
+  test("small-dimension joins broadcast (no shuffle of the big side)") {
+    val q = SparkEntry.queries("q5_region_suppliers")(spark, "/root/testdata/sf0.001")
+    q.collect() // materialize so AQE finalizes the plan
+    val planStr = finalPlans(q).map(_.toString).mkString("\n")
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"q5 should broadcast nation/region:\n$planStr")
+    assert(!planStr.contains("SortMergeJoin"), "no sort-merge join expected for tiny dims")
+  }
+
+  test("aggregations run partial+final with whole-stage codegen") {
+    val q = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val planStr = finalPlans(q).map(_.toString).mkString("\n")
+    // whole-stage codegen shows as "*(n)" stage markers in the plan string
+    assert(planStr.contains("*("), s"agg must stay inside codegen:\n$planStr")
+    val hashAggs = "HashAggregate".r.findAllIn(planStr).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
+  }
+
+  test("enhanced v2.1 JSON view is well-formed and deterministic") {
+    val results = Pipeline.run(spark.read.parquet(corpusPath))
+    val json = Pipeline.enhancedJsonView(results)
+      .filter(col("url") === CorpusGen.urlOf(0))
+      .select("json").as[String].head()
+    // structural checks against the v2.1 contract
+    for (key <- Seq("\"schema_version\":\"2.1\"", "\"document\":", "\"processing\":",
+        "\"signatures\":", "\"pages\":", "\"document_summary\":", "\"tags\":",
+        "\"word_cloud\":", "\"visual_content\":", "\"reconstruction\":",
+        "\"full_text\":"))
+      assert(json.contains(key), s"missing $key")
+    // parses back; spot-check fields
+    val parsed = spark.range(1).select(
+      from_json(lit(json), schema_of_json(lit(json))).as("j"))
+      .select(col("j.job_id"), col("j.total_pages"), col("j.tags.document_type"))
+      .as[(String, Long, String)].head()
+    assert(parsed._1 == CorpusGen.urlOf(0))
+    assert(parsed._2 == 1L)
+    // deterministic across runs
+    val json2 = Pipeline.enhancedJsonView(Pipeline.run(spark.read.parquet(corpusPath)))
+      .filter(col("url") === CorpusGen.urlOf(0))
+      .select("json").as[String].head()
+    assert(json == json2)
+  }
+
+  test("compact JSON truncates full_text at 1000 chars with ellipsis") {
+    val results = Pipeline.run(spark.read.parquet(corpusPath))
+    val rows = Pipeline.compactJsonView(results).select("json").as[String].collect()
+    assert(rows.nonEmpty)
+    val mega = Pipeline.compactJsonView(
+        results.filter(col("url") === CorpusGen.urlOf(99))) // mega-doc row
+      .select("json").as[String].head()
+    val ft = spark.range(1).select(
+      get_json_object(lit(mega), "$.full_text").as("t")).as[String].head()
+    assert(ft.length == 1003 && ft.endsWith("..."))
+  }
+}
