@@ -88,18 +88,27 @@ object TextAnalyzer {
 
   // ----------------------------------------------------------- T1 tokenize
 
-  /** `doc_analyzer._tokenize`: lower, non-[\w\s-] → space, collapse ws, split. */
+  /** `doc_analyzer._tokenize`: lower, non-[\w\s-] → space, collapse ws,
+    * split. Mapping junk to spaces and whitespace-splitting is exactly
+    * "tokens = maximal runs of word chars / hyphens", done here in one
+    * scan over the lowered text (no intermediate mapped copy — this is
+    * the hottest analyzer primitive). */
   def tokenize(text: String): Array[String] = {
     val lowered = text.toLowerCase
-    val sb = new java.lang.StringBuilder(lowered.length)
+    val n = lowered.length
+    val out = ArrayBuffer.empty[String]
     var i = 0
-    while (i < lowered.length) {
-      val c = lowered.charAt(i)
-      if (PyText.isWordChar(c) || PyText.isPyWs(c) || c == '-') sb.append(c)
-      else sb.append(' ')
-      i += 1
+    while (i < n) {
+      while (i < n && {
+        val c = lowered.charAt(i); !(PyText.isWordChar(c) || c == '-')
+      }) i += 1
+      val start = i
+      while (i < n && {
+        val c = lowered.charAt(i); PyText.isWordChar(c) || c == '-'
+      }) i += 1
+      if (i > start) out += lowered.substring(start, i)
     }
-    PyText.splitWs(sb.toString)
+    out.toArray
   }
 
   /** T3: word frequency — first-occurrence order preserved (Counter). */
