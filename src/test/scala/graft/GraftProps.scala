@@ -1,0 +1,120 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.analyzers.{PyText, TextAnalyzer}
+import graft.html.{Boilerplate, DomBuilder}
+import graft.ops.Dedup
+import graft.tables.Tables
+
+/** Property-based invariants (SURVEY.md §5.3) — pure-JVM, no Spark
+  * session: tokenizer/text laws, extraction total-function robustness,
+  * dedup metric laws, CSV quoting inverse. */
+object GraftProps extends Properties("graft") {
+
+  private val anyText: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '\n', '\t', '.', ',',
+      '!', '?', '-', 'é', 'ü', '€', '中', '&', '<', '>'))).map(_.mkString))
+
+  property("tokenize never emits empty tokens and only word chars or hyphens") =
+    forAll(anyText) { s =>
+      TextAnalyzer.tokenize(s).forall(t =>
+        t.nonEmpty && t.forall(c => PyText.isWordChar(c) || c == '-'))
+    }
+
+  property("tokenize output is lowercase") = forAll(anyText) { s =>
+    val toks = TextAnalyzer.tokenize(s)
+    toks.forall(t => t == t.toLowerCase)
+  }
+
+  property("word cloud percentages: top + others ≈ 100") = forAll(anyText) { s =>
+    val wc = TextAnalyzer.wordCloud(s)
+    if (wc.totalWords == 0) wc.topWords.isEmpty && wc.othersPercentage == 0.0
+    else {
+      val sum = wc.topWords.map(_.percentage).sum + wc.othersPercentage
+      math.abs(sum - 100.0) < 0.5 // per-entry round(2) drift bound
+    }
+  }
+
+  property("splitWs round-trip: joining tokens with single spaces re-splits identically") =
+    forAll(anyText) { s =>
+      val toks = PyText.splitWs(s)
+      PyText.splitWs(toks.mkString(" ")).toSeq == toks.toSeq
+    }
+
+  property("extraction is a total function of arbitrary bytes") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val r = graft.extract.Extractor.extract("u", new java.sql.Timestamp(0),
+        bytes.toArray, "en")
+      Seq("ok", "empty", "error").contains(r.status)
+    }
+
+  property("html text nodes survive the tokenizer+dom for markup-free text") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString)) { t =>
+      val dom = DomBuilder.parse(s"<html><body><main><p>$t</p></main></body></html>")
+      val text = Boilerplate.segment(dom).map(_.text).mkString("\n")
+      // content blocks may drop short/low-quality text entirely, but must
+      // never invent characters
+      Boilerplate.normalizeWs(t).contains(text) || text.isEmpty ||
+        text == Boilerplate.normalizeWs(t)
+    }
+
+  property("simhash hamming distance is a metric-ish bound in [0, 64]") =
+    forAll(anyText, anyText) { (a, b) =>
+      val d = Dedup.hamming64(Dedup.simhash64(a), Dedup.simhash64(b))
+      d >= 0 && d <= 64 && Dedup.hamming64(Dedup.simhash64(a), Dedup.simhash64(a)) == 0
+    }
+
+  property("ngram jaccard is symmetric and in [0, 1]") =
+    forAll(anyText, anyText) { (a, b) =>
+      val j1 = Dedup.ngramJaccard(a, b, 3)
+      val j2 = Dedup.ngramJaccard(b, a, 3)
+      j1 == j2 && j1 >= 0.0 && j1 <= 1.0 && Dedup.ngramJaccard(a, a, 3) == 1.0
+    }
+
+  property("minhash signature jaccard of identical texts is 1") =
+    forAll(anyText.suchThat(_.trim.nonEmpty)) { s =>
+      val params = Dedup.hashParams(32)
+      val sig = Dedup.minhashSignature(Dedup.shingleHashes(s, 3), params)
+      Dedup.signatureJaccard(sig, sig) == 1.0
+    }
+
+  private val cellGen: Gen[String] = Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+    Gen.oneOf(',', '"', '\n', ' ', '.'))).map(_.mkString)
+
+  property("csv render is parseable back to the original matrix (RFC quoting inverse)") =
+    forAll(Gen.listOfN(3, Gen.listOfN(3, cellGen))) { rows =>
+      val t = Tables.EnhancedTable("t", 1, 3, 3, data = rows.map(_.toSeq))
+      val csv = t.toCsv
+      parseCsv(csv) == rows.map(_.toList)
+    }
+
+  /** Minimal RFC-4180 parser (CRLF rows, doubled-quote escape). */
+  private def parseCsv(s: String): List[List[String]] = {
+    val rows = scala.collection.mutable.ListBuffer.empty[List[String]]
+    val row = scala.collection.mutable.ListBuffer.empty[String]
+    val cell = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < s.length && s.charAt(i + 1) == '"') { cell += '"'; i += 1 }
+        else if (c == '"') inQ = false
+        else cell += c
+      } else c match {
+        case '"' => inQ = true
+        case ',' => row += cell.toString; cell.clear()
+        case '\r' if i + 1 < s.length && s.charAt(i + 1) == '\n' =>
+          row += cell.toString; cell.clear()
+          rows += row.toList; row.clear()
+          i += 1
+        case other => cell += other
+      }
+      i += 1
+    }
+    rows.toList
+  }
+}
