@@ -79,6 +79,54 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: nearest-neighbor downsample of the fake luma plane —
+    * the partitioning/batching contract of a real resize kernel. */
+  def resizeStub(px: Array[Int], w0: Int, h0: Int, w1: Int, h1: Int): Array[Int] = {
+    val out = new Array[Int](w1 * h1)
+    if (w0 <= 0 || h0 <= 0) return out
+    var y = 0
+    while (y < h1) {
+      val sy = y * h0 / h1
+      var x = 0
+      while (x < w1) {
+        out(y * w1 + x) = px(sy * w0 + (x * w0 / w1))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  final case class FrameRow(id: Long, frameIndex: Int, tsMs: Long,
+      payload: Array[Byte])
+
+  /** Frame sampling for video payloads: one row per sampled timestamp
+    * (every `everyMs` through meta.durationMs), fanning out via a typed
+    * flatMap. The decode is STUBBED — each frame's payload is a
+    * deterministic slice of the source bytes — but the shape (explode to
+    * frame grain, frame index + event-time column for downstream
+    * windowing, per-partition batching) is the real pipeline contract. */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[FrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val dur = math.max(0L, r.meta.durationMs)
+      val n = (dur / everyMs).toInt
+      (0 until n).map { k =>
+        val ts = k * everyMs
+        val bytes = r.payload
+        val slice =
+          if (bytes == null || bytes.isEmpty) Array.emptyByteArray
+          else {
+            val start = ((ts.toDouble / math.max(1L, dur)) * bytes.length).toInt
+              .min(math.max(0, bytes.length - 16))
+            java.util.Arrays.copyOfRange(bytes, start, math.min(bytes.length, start + 16))
+          }
+        FrameRow(r.id, k, ts, slice)
+      }
+    }
+  }
+
   /** Attach a metadata struct column to a raw (id, payload) binary table. */
   def withMediaMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val mimeUdf = udf(sniffMime _)
