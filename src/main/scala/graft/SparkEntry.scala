@@ -81,7 +81,24 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q6_filtered_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") < 24 && col("l_discount") >= 0.05 &&
+          col("l_discount") <= 0.07)
+        .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // --------------------------------------------- documents: analyzers
+
+    "doc_len_hist" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(floor(length(col("text")) / 500).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ", -1)).cast("long")).as("total_tokens"))
+        .orderBy(col("bucket"))
+    }),
 
     "doc_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -367,6 +384,19 @@ object SparkEntry {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_partkey, p_name ORDER BY total_qty DESC, p_partkey LIMIT 20""".stripMargin,
+
+    "q6_filtered_agg" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS cnt
+        |FROM lineitem
+        |WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07""".stripMargin,
+
+    "doc_len_hist" ->
+      """SELECT CAST(FLOOR(length(text) / 500) AS BIGINT) AS bucket,
+        | COUNT(*) AS n_docs,
+        | SUM(len(string_split(text, ' '))) AS total_tokens
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "doc_stats" ->
       """SELECT doc_id, length(text) AS n_chars_actual,

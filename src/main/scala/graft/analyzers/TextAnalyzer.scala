@@ -200,6 +200,10 @@ object TextAnalyzer {
     "\\b([A-Z][a-zéèêëàâùûîïôö]+(?:\\s+[A-Z][a-zéèêëàâùûîïôö]+)+)\\b")
   private val companyPattern = java.util.regex.Pattern.compile(
     "\\b([A-Z][A-Za-z\\s&\\-\\.]+(?:SA|SAS|SARL|Ltd|Inc|LLC|GmbH|AG))\\b")
+  // every company match must contain one of these literals — a cheap
+  // contains() prefilter skips the heavily-backtracking regex on the
+  // (common) documents that cannot match at all
+  private val companySuffixes = Array("SA", "Ltd", "Inc", "LLC", "GmbH", "AG")
   private val emailPattern = java.util.regex.Pattern.compile(
     "@([a-zA-Z0-9\\-]+)\\.")
   private val webmail = Set("gmail", "yahoo", "hotmail", "outlook")
@@ -215,10 +219,12 @@ object TextAnalyzer {
       if (!out.contains(name) && name.length > 3 && !sentenceStarts.exists(name.startsWith))
         out += name
     }
-    val m2 = companyPattern.matcher(text)
-    while (m2.find()) {
-      val c = m2.group(1).trim
-      if (c.nonEmpty && !out.contains(c)) out += c
+    if (companySuffixes.exists(text.contains)) {
+      val m2 = companyPattern.matcher(text)
+      while (m2.find()) {
+        val c = m2.group(1).trim
+        if (c.nonEmpty && !out.contains(c)) out += c
+      }
     }
     val m3 = emailPattern.matcher(text)
     while (m3.find()) {
