@@ -234,6 +234,21 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    "entities_exploded" -> ((s, dir) => {
+      val corpus = CorpusGen.generate(s, 300, partitions = 8).toDF()
+      Pipeline.entitiesView(Pipeline.run(corpus))
+        .orderBy(col("url"), col("field_name"), col("value"))
+    }),
+
+    "confidence_dist" -> ((s, dir) => {
+      val corpus = CorpusGen.generate(s, 300, partitions = 8).toDF()
+      Pipeline.confidenceView(Pipeline.run(corpus))
+        .select(col("url"), col("certain"), col("high"), col("medium"),
+          col("low"), col("uncertain"),
+          round(col("avg_confidence"), 4).as("avg_confidence"))
+        .orderBy(col("url"))
+    }),
+
     // ------------------------- table enhancement V1-V6 (rows-only)
 
     "tables_enhanced" -> ((s, dir) => {

@@ -142,6 +142,45 @@ object Pipeline {
     )).as("json"))
   }
 
+  /** Stage-2 entity rows (`FinalJSONOutput`/`ExtractedEntity`,
+    * `intermediate_format.py:435-499`; explode at
+    * `organizer_engine.py:416-427`): one row per (url, field_name,
+    * value, type, confidence, page). Our deterministic entity kinds:
+    * named entities (T8), keywords (T5), categories (T7) — the
+    * LLM-extracted kinds are out of scope per SURVEY.md §2.11. */
+  def entitiesView(results: Dataset[DocResult]): DataFrame = {
+    def kind(arrCol: String, name: String, conf: Double): DataFrame =
+      results.select(col("url"), explode(col(arrCol)).as("value"))
+        .select(col("url"), lit(name).as("field_name"), col("value"),
+          lit("text").as("type"), lit(conf).as("confidence"),
+          lit(1).as("page"))
+    kind("entities", "entity", 0.7)
+      .unionAll(kind("keywords", "keyword", 0.8))
+      .unionAll(kind("categories", "category", 0.6))
+  }
+
+  /** Confidence distribution + low-confidence segments (A2/T16,
+    * `intermediate_format.py:276-306`): per-document bucket counts over
+    * block confidences and the first 100 chars of any block under 0.6 —
+    * conditional-sum aggregation, partial+final. */
+  def confidenceView(results: Dataset[DocResult]): DataFrame = {
+    val blocks = results.select(col("url"),
+      expr("flatten(transform(pages, p -> transform(p.blocks, b -> " +
+        "struct(b.confidence as conf, b.text as text))))").as("bs"))
+      .select(col("url"), explode(col("bs")).as("b"))
+    blocks.groupBy(col("url")).agg(
+      sum(when(col("b.conf") >= 0.95, 1L).otherwise(0L)).as("certain"),
+      sum(when(col("b.conf") >= 0.80 && col("b.conf") < 0.95, 1L).otherwise(0L)).as("high"),
+      sum(when(col("b.conf") >= 0.60 && col("b.conf") < 0.80, 1L).otherwise(0L)).as("medium"),
+      sum(when(col("b.conf") >= 0.40 && col("b.conf") < 0.60, 1L).otherwise(0L)).as("low"),
+      sum(when(col("b.conf") < 0.40, 1L).otherwise(0L)).as("uncertain"),
+      avg(col("b.conf")).as("avg_confidence"),
+      min(col("b.conf")).as("min_confidence"),
+      max(col("b.conf")).as("max_confidence"),
+      collect_list(when(col("b.conf") < 0.6, substring(col("b.text"), 1, 100)))
+        .as("low_confidence_segments"))
+  }
+
   /** Projection of the per-url byte-identity contract (url, extracted
     * text, spans) — the minimal output table; column pruning reaches the
     * scan because DocResult is nested-struct typed. */
