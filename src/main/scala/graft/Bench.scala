@@ -62,8 +62,13 @@ object Bench {
 
     def extractionRun(s: SparkSession, cores: Int): (Double, Long) = {
       val t0 = System.nanoTime()
-      val n = graft.extract.Pipeline
-        .run(s.read.parquet(corpusPath))
+      // measure the north-rule job: scan → extract → contract output
+      // (url, status, extracted text, spans). The projection lets
+      // Catalyst prune the object serializer to those 4 fields — without
+      // it, a bare filter+count serializes all 32 DocResult fields
+      // including the nested pages tree, which no real query pays for.
+      val n = graft.extract.Pipeline.contractView(
+          graft.extract.Pipeline.run(s.read.parquet(corpusPath)))
         .filter(org.apache.spark.sql.functions.col("status") =!= "error").count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
@@ -172,7 +177,9 @@ object Bench {
          |Corpus: $nDocs synthesized docs (HTML+PDF mix, FIXTURES.md §1),
          |${f"${bytes / 1e6}%.1f"} MB parquet, 128 files = 128 scan tasks (one
          |file per task; parquet row groups are the split floor). Pipeline:
-         |scan → typed mapPartitions extract → count. Both parallelism
+         |scan → typed mapPartitions extract → contract projection
+         |(url, status, extracted text, spans — serializer pruned to the
+         |north-rule output) → count. Both parallelism
          |levels measured back-to-back inside each round (this VM's absolute
          |speed drifts on multi-minute timescales); the reported row is the
          |median-efficiency round of ${allRoundEffs.length}.

@@ -67,7 +67,12 @@ object LangScript {
   /** Deterministic language-ID: score = matched marker-word tokens per
     * language / total tokens; <20 chars stripped → unknown (mirrors
     * `ocr_engine.py:788-795`); non-Latin scripts short-circuit on script. */
-  def detectLanguage(text: String): LangResult = {
+  def detectLanguage(text: String): LangResult = detectLanguage(text, null)
+
+  /** Overload taking pre-computed tokens (must equal tokenize(text)) —
+    * lets the extraction hot path share one tokenize pass for
+    * single-page documents. */
+  def detectLanguage(text: String, preTokens: Array[String]): LangResult = {
     if (text == null || PyText.strip(text).length < 20)
       return LangResult("unknown", 0.0, Nil, "unknown")
     val script = detectScript(text)
@@ -77,7 +82,7 @@ object LangScript {
       case "CJK" => return LangResult("zh", 0.9, Nil, script)
       case _ =>
     }
-    val tokens = TextAnalyzer.tokenize(text)
+    val tokens = if (preTokens != null) preTokens else TextAnalyzer.tokenize(text)
     if (tokens.isEmpty) return LangResult("unknown", 0.0, Nil, script)
     val hits = profiles.map { case (lang, words) =>
       (lang, tokens.count(words.contains).toDouble)

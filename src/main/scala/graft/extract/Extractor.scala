@@ -141,6 +141,12 @@ object Extractor {
       pageTexts: Seq[String], pageBlocks: Seq[Seq[(String, String)]],
       signatures: Seq[SignatureOut], tables: Seq[TableOut] = Nil): DocResult = {
 
+    val fullText = pageTexts.mkString(PageBreak)
+    // single tokenize pass shared by the doc-level analyzers AND (for
+    // single-page docs, where rawText == fullText) page language-ID
+    val tokens = TextAnalyzer.tokenize(fullText)
+    val singlePage = pageTexts.length == 1
+
     val pages = pageTexts.zipWithIndex.map { case (rawText, pi) =>
       var lineNo = 0
       var cursor = 0
@@ -167,20 +173,16 @@ object Extractor {
         }
       }
       val stats = LangScript.pageStats(rawText)
-      val lr = LangScript.detectLanguage(rawText)
+      val lr = LangScript.detectLanguage(rawText, if (singlePage) tokens else null)
       PageOut(pi + 1, rawText, stats.charCount, stats.wordCount,
         stats.lineCount, stats.paragraphCount, lr.script, lr.detected,
         DirectConfidence, blocks)
     }
 
-    val fullText = pageTexts.mkString(PageBreak)
     val lower = fullText.toLowerCase
 
-    // doc-level analysis (doc_analyzer suite, T4-T12); the document is
-    // tokenized ONCE and shared — word cloud, keywords and the summary
-    // frequency table all consume the same token array (3x fewer
-    // full-text passes in the hot map stage)
-    val tokens = TextAnalyzer.tokenize(fullText)
+    // doc-level analysis (doc_analyzer suite, T4-T12) over the shared
+    // token array
     val wc = TextAnalyzer.wordCloudFromTokens(tokens)
     val summary = TextAnalyzer.summarize(fullText, tokens)
     val docType = TextAnalyzer.classifyDocType(lower)

@@ -74,6 +74,9 @@ object Pipeline {
         col("pageCount").as("ocr_pages_processed"),
         col("sourceType").as("strategy")
       ).as("processing"),
+      // all extraction paths here are direct digital (no OCR branch),
+      // matching the reference's pure_digital structure class (R2)
+      lit("pure_digital").as("document_structure"),
       col("pageCount").as("total_pages"),
       col("totalChars").as("total_characters"),
       col("totalWords").as("total_words"),
@@ -121,6 +124,8 @@ object Pipeline {
         expr("transform(tables, t -> t.markdown)").as("tables_markdown"),
         expr("transform(tables, t -> t.csv)").as("tables_csv")
       ).as("reconstruction"),
+      when(col("error") =!= "", array(col("error")))
+        .otherwise(array().cast("array<string>")).as("errors"),
       col("fullText").as("full_text")
     )).as("json"))
   }
