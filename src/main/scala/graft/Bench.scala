@@ -60,7 +60,7 @@ object Bench {
     }
     val corpusBytes = dirBytes(corpusPath)
 
-    def extractionRun(s: SparkSession, cores: Int): (Double, Long) = {
+    def extractionRun(s: SparkSession): (Double, Long) = {
       val t0 = System.nanoTime()
       // measure the north-rule job: scan → extract → contract output
       // (url, status, extracted text, spans). The projection lets
@@ -85,18 +85,18 @@ object Bench {
     // legs to peak before any measured round.
     locally {
       val w32 = newSession(cpus)
-      extractionRun(w32, cpus); extractionRun(w32, cpus)
+      extractionRun(w32); extractionRun(w32)
       w32.stop()
       val w8 = newSession(8)
-      extractionRun(w8, 8)
+      extractionRun(w8)
       w8.stop()
     }
     val samples = (1 to rounds).map { _ =>
       val s32 = newSession(cpus)
-      val r32 = extractionRun(s32, cpus)
+      val r32 = extractionRun(s32)
       s32.stop()
       val s8 = newSession(8)
-      val r8 = extractionRun(s8, 8)
+      val r8 = extractionRun(s8)
       s8.stop()
       (r32, r8, (r8._1 / r32._1) / 4.0) // eff = (thr32/thr8)/4 = (sec8/sec32)/4
     }
@@ -154,9 +154,10 @@ object Bench {
       total / ((System.nanoTime() - t0) / 1e9)
     }
     val base = 4_000_000_000L
+    if (hi <= 8) return 1.0 // degenerate: no scale-up to probe
     gops(8, base / 2) // warm
     val g8 = gops(8, base)
-    val gHi = gops(hi, base * (hi / 8))
+    val gHi = gops(hi, base * hi / 8) // Long math BEFORE the divide
     (gHi / g8) / (hi / 8.0)
   }
 

@@ -34,7 +34,11 @@ object Cli {
   private def session(): SparkSession = {
     val b = SparkSession.builder().appName("graft")
       .config("spark.sql.session.timeZone", "UTC")
-    val s = (if (sys.env.contains("SPARK_MASTER")) b
+    // spark-submit passes --master as the spark.master system property;
+    // only default to local[*] when no master was provided at all
+    val masterProvided =
+      sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER")
+    val s = (if (masterProvided) b
              else b.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -103,12 +103,18 @@ object Checkpoint {
       .withColumn("bucket", bucketCol)
 
     // Replace exactly the recomputed partitions; completed ones untouched.
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(overwriteKey)
+    spark.conf.set(overwriteKey, "dynamic")
     try {
       results.write.mode("overwrite").partitionBy("bucket").parquet(dataDir(outDir))
     } finally {
-      prevMode.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      // restore OR unset — leaving dynamic set would silently change the
+      // semantics of later whole-table overwrites in this session
+      prevMode match {
+        case Some(v) => spark.conf.set(overwriteKey, v)
+        case None => spark.conf.unset(overwriteKey)
+      }
     }
 
     // Lineage from the data as written (read-back → what a reader will see;

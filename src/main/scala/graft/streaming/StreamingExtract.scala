@@ -55,8 +55,14 @@ object StreamingExtract {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val results = Pipeline.run(batch, oversizeBudgetBytes).persist()
+          val results = Pipeline.run(batch, oversizeBudgetBytes)
+            .withColumn("batchId", lit(batchId))
+            .persist()
           try {
+            // batchId rides on every data row so a batch replayed after a
+            // crash-between-write-and-checkpoint-commit can be deduped
+            // downstream (keep max batchId per url, or filter on the
+            // committed batch ids from _metrics)
             results.write.mode("append").parquet(s"$outDir/data")
             // lineage event row per micro-batch (events-table analog)
             results.groupBy()
@@ -64,8 +70,8 @@ object StreamingExtract {
                 sum(when(col("status") === "ok", 1L).otherwise(0L)).as("okCount"),
                 sum(when(col("status") === "error" || col("status") === "oversize", 1L)
                   .otherwise(0L)).as("failCount"),
-                sum(col("sizeBytes")).as("inputBytes"))
-              .withColumn("batchId", lit(batchId))
+                sum(col("sizeBytes")).as("inputBytes"),
+                max(col("batchId")).as("batchId"))
               .write.mode("append").parquet(s"$outDir/_metrics")
           } finally results.unpersist()
         }

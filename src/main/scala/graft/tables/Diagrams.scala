@@ -93,8 +93,12 @@ object Diagrams {
       xAxisLabel: Option[String] = None, yAxisLabel: Option[String] = None,
       labels: Seq[String] = Nil, dataSeries: Seq[ChartSeries] = Nil) {
 
+    // escape set exactly as Python json.dumps: named escapes for the
+    // common controls, \uXXXX only for the rest below 0x20
     private def js(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"; case '\b' => "\\b"
+      case '\f' => "\\f"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     private def jnum(d: Double): String =

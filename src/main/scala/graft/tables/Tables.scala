@@ -39,11 +39,16 @@ object Tables {
       hasTotalRow: Boolean = false, isFinancial: Boolean = false,
       caption: Option[String] = None) {
 
+    // (row, col) index built once — a linear cells.find per lookup made
+    // toHtml O((rows*cols)^2) on large tables in the extraction hot path
+    @transient private lazy val cellIndex: Map[(Int, Int), EnhancedCell] =
+      cells.map(c => (c.row, c.col) -> c).toMap
+
     private def cellAt(r: Int, c: Int): EnhancedCell =
-      cells.find(x => x.row == r && x.col == c).getOrElse {
+      cellIndex.getOrElse((r, c), {
         val v = if (r < data.length && c < data(r).length) data(r)(c) else ""
         EnhancedCell(v, r, c, cellType = Empty)
-      }
+      })
 
     private def cellStyle(cell: EnhancedCell): String = {
       val styles = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -112,6 +117,8 @@ object Tables {
         case '\n' => "\\n"
         case '\r' => "\\r"
         case '\t' => "\\t"
+        case '\b' => "\\b"
+        case '\f' => "\\f"
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
