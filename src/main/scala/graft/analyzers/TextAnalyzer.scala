@@ -212,7 +212,9 @@ object TextAnalyzer {
   /** `_extract_entities` (doc_analyzer.py:480-507); set order pinned to
     * lexicographic sort before the [:10] slice. */
   def entities(text: String): Seq[String] = {
-    val out = ArrayBuffer.empty[String]
+    // LinkedHashSet: O(1) membership (the per-match contains() made
+    // entity-dense docs quadratic) while keeping insertion order
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
     val m1 = namePattern.matcher(text)
     while (m1.find()) {
       val name = m1.group(1)
@@ -223,15 +225,15 @@ object TextAnalyzer {
       val m2 = companyPattern.matcher(text)
       while (m2.find()) {
         val c = m2.group(1).trim
-        if (c.nonEmpty && !out.contains(c)) out += c
+        if (c.nonEmpty) out += c
       }
     }
     val m3 = emailPattern.matcher(text)
     while (m3.find()) {
       val d = m3.group(1)
-      if (!webmail(d) && !out.contains(d)) out += PyText.capitalize(d)
+      if (!webmail(d)) out += PyText.capitalize(d)
     }
-    out.distinct.sorted.take(10).toSeq
+    out.toSeq.sorted.take(10)
   }
 
   // ---------------------------------------------------- T9 sentence split

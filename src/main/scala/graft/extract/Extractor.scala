@@ -111,7 +111,10 @@ object Extractor {
             .filter(_.nonEmpty).zipWithIndex
             .map { case (m, idx) => toTableOut(m.map(_.toSeq), page = 1, idx) }
           if (pageText.isEmpty)
+            // table-only pages: no main-content text, but detected tables
+            // and the title still belong on the result row
             emptyResult(url, warcTs, langHint, format, hash, bytes.length)
+              .copy(title = title, tables = htmlTables)
           else assemble(url, warcTs, langHint, format, hash, bytes.length,
             title = title,
             pageTexts = Vector(pageText),
@@ -120,7 +123,12 @@ object Extractor {
             tables = htmlTables)
       }
     } catch {
-      case e: Exception =>
+      // StackOverflowError is included deliberately: pathological nesting
+      // in crawled markup must fail THIS document (per-row failure path,
+      // `local_queue.py:359-403`), not the Spark task — by catch time the
+      // stack is unwound and the thread is healthy. Genuinely fatal VM
+      // errors (OOM etc.) still propagate.
+      case e @ (_: Exception | _: StackOverflowError) =>
         errorResult(url, warcTs, langHint, format, hash, bytes.length,
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
     }

@@ -67,7 +67,9 @@ object Pipeline {
         col("format").as("file_format"),
         col("sizeBytes").as("file_size_bytes"),
         col("sha256").as("file_hash_sha256"),
-        concat(lit("application/"), col("format")).as("mime_type")
+        when(col("format") === "pdf", "application/pdf")
+          .when(col("format") === "html", "text/html")
+          .otherwise("application/octet-stream").as("mime_type")
       ).as("document"),
       struct(
         lit("2.1").as("pipeline_version"),

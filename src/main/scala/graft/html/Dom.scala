@@ -14,6 +14,10 @@ final case class Element(tag: String, attrs: Map[String, String], children: Vect
 
 object DomBuilder {
 
+  /** Maximum open-element depth; deeper markup is flattened (browsers
+    * apply similar caps — Blink uses 512). */
+  val MaxDepth = 256
+
   /** Void elements never have children. */
   private val voidTags = Set(
     "area", "base", "br", "col", "embed", "hr", "img", "input",
@@ -84,7 +88,10 @@ object DomBuilder {
     tokens.foreach {
       case StartTag(name, attrs, selfClosing) =>
         impliedEndTags(name)
-        if (voidTags(name) || selfClosing) {
+        if (voidTags(name) || selfClosing || stack.length >= MaxDepth) {
+          // depth cap: a page nesting thousands of open tags flattens
+          // past MaxDepth instead of building a tree whose traversal
+          // would overflow the stack downstream (never-throws contract)
           top.children += Element(name, attrs.toMap, Vector.empty)
         } else {
           stack += new OpenEl(name, attrs.toMap)

@@ -39,8 +39,10 @@ object HtmlTables {
     tr.children.foreach {
       case el: Element if el.tag == "td" || el.tag == "th" =>
         val text = Boilerplate.normalizeWs(textOf(el))
+        // clamp both ways: colspan="2000000000" must not OOM the task
         val span = el.attr("colspan").toIntOption.getOrElse(1)
-        (0 until math.max(1, span)).foreach(_ => out += text)
+          .max(1).min(512)
+        (0 until span).foreach(_ => out += text)
       case _ =>
     }
     out.toVector

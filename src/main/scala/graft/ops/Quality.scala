@@ -88,21 +88,35 @@ object Quality {
     h
   }
 
+  final case class QualityStruct(stopword_ratio: Double, quality_score: Double,
+      fingerprint: Long, detected_lang: String)
+
+  /** The scalar-function quartet fused into ONE UDF invocation so the
+    * document is lowercased/tokenized once per row, not four times —
+    * the column-expression metrics stay codegen'd. */
+  def qualityStruct(text: String): QualityStruct = {
+    val t = if (text == null) "" else text
+    QualityStruct(
+      stopwordRatio(t),
+      qualityScore(t),
+      fingerprint64(t),
+      graft.analyzers.LangScript.detectLanguage(t).detected)
+  }
+
   /** DataFrame transform: append quality columns to a documents table. */
   def withQualityColumns(df: DataFrame, textCol: String = "text"): DataFrame = {
     val spark = df.sparkSession
-    val qUdf = udf(qualityScore _)
-    val swUdf = udf(stopwordRatio _)
-    val fpUdf = udf(fingerprint64 _)
-    val langUdf = udf((t: String) =>
-      graft.analyzers.LangScript.detectLanguage(if (t == null) "" else t).detected)
+    import spark.implicits._
+    val qUdf = udf(qualityStruct _)
     df.withColumn("n_tokens", tokenCountCol(col(textCol)))
       .withColumn("n_subwords", subwordCountCol(col(textCol)))
       .withColumn("punct_ratio", punctRatioCol(col(textCol)))
       .withColumn("mean_token_len", meanTokenLenCol(col(textCol)))
-      .withColumn("stopword_ratio", swUdf(col(textCol)))
-      .withColumn("quality_score", qUdf(col(textCol)))
-      .withColumn("fingerprint", fpUdf(col(textCol)))
-      .withColumn("detected_lang", langUdf(col(textCol)))
+      .withColumn("__q", qUdf(col(textCol)))
+      .withColumn("stopword_ratio", col("__q.stopword_ratio"))
+      .withColumn("quality_score", col("__q.quality_score"))
+      .withColumn("fingerprint", col("__q.fingerprint"))
+      .withColumn("detected_lang", col("__q.detected_lang"))
+      .drop("__q")
   }
 }

@@ -41,6 +41,25 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(if (r.nextBoolean()) 1.0f else -1.0f))
   }
 
+  /** Sign-of-dot-product bucket keys for one embedding across all hash
+    * tables — the single implementation behind both lshTopK and
+    * cosineDupPairs. */
+  private def signBuckets(planes: Seq[Array[Array[Float]]],
+      emb: Seq[Float]): Seq[(Int, Int)] = {
+    planes.indices.map { t =>
+      var key = 0
+      var p = 0
+      while (p < planes(t).length) {
+        var dot = 0.0; var i = 0
+        val plane = planes(t)(p)
+        while (i < emb.length && i < plane.length) { dot += emb(i) * plane(i); i += 1 }
+        if (dot >= 0) key |= (1 << p)
+        p += 1
+      }
+      (t, key)
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     * generate candidates (vectors agreeing on all nPlanes signs in ≥1 of
     * `tables` tables), exact cosine verifies. The self-join runs on
@@ -52,21 +71,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val planes = (0 until tables).map(t => hyperplanes(nPlanes, dim, 42L + t))
     val bPlanes = spark.sparkContext.broadcast(planes)
-    val bucketUdf = udf { (emb: Seq[Float]) =>
-      val ps = bPlanes.value
-      ps.indices.map { t =>
-        var key = 0
-        var p = 0
-        while (p < ps(t).length) {
-          var dot = 0.0; var i = 0
-          val plane = ps(t)(p)
-          while (i < emb.length && i < plane.length) { dot += emb(i) * plane(i); i += 1 }
-          if (dot >= 0) key |= (1 << p)
-          p += 1
-        }
-        (t, key)
-      }
-    }
+    val bucketUdf = udf { (emb: Seq[Float]) => signBuckets(bPlanes.value, emb) }
     val bucketed = embeddings
       .select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("bucket", explode(bucketUdf(col("emb"))))
@@ -191,23 +196,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val planes = (0 until tables).map(t => hyperplanes(nPlanes, dim, 42L + t))
     val bPlanes = spark.sparkContext.broadcast(planes)
-
-    def bucketUdf = udf { (emb: Seq[Float]) =>
-      val ps = bPlanes.value
-      ps.indices.map { t =>
-        var key = 0
-        var p = 0
-        while (p < ps(t).length) {
-          var dot = 0.0
-          var i = 0
-          val plane = ps(t)(p)
-          while (i < emb.length && i < plane.length) { dot += emb(i) * plane(i); i += 1 }
-          if (dot >= 0) key |= (1 << p)
-          p += 1
-        }
-        (t, key)
-      }
-    }
+    def bucketUdf = udf { (emb: Seq[Float]) => signBuckets(bPlanes.value, emb) }
 
     val corpus = embeddings
       .select(col(idCol).as("neighbor_id"), col(embCol).as("emb_n"))

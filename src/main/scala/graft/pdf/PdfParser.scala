@@ -69,7 +69,7 @@ object PdfParser {
       val sigs = findSignatures(resolver)
       PdfDoc(pages, sigs, "ok", "")
     } catch {
-      case e: Exception =>
+      case e @ (_: Exception | _: StackOverflowError) =>
         PdfDoc(Vector.empty, Vector.empty, "error",
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
     }
@@ -81,14 +81,18 @@ object PdfParser {
     try {
       val resolver = new Resolver(scanObjects(bytes))
       findPages(resolver).length
-    } catch { case _: Exception => 0 }
+    } catch { case _: Exception | _: StackOverflowError => 0 }
   }
 
   // ---------------------------------------------------------------- objects
 
   private final class Resolver(objs: Map[Int, PdfObj]) {
-    def resolve(o: PdfObj): PdfObj = o match {
-      case PRef(num, _) => objs.get(num).map(resolve).getOrElse(PNull)
+    def resolve(o: PdfObj): PdfObj = resolve(o, 0)
+    private def resolve(o: PdfObj, depth: Int): PdfObj = o match {
+      // depth cap breaks reference cycles (1 0 obj 2 0 R / 2 0 obj 1 0 R)
+      // that would otherwise recurse forever (never-throws contract)
+      case PRef(_, _) if depth > 64 => PNull
+      case PRef(num, _) => objs.get(num).map(resolve(_, depth + 1)).getOrElse(PNull)
       case other => other
     }
     def all: Iterator[PdfObj] = objs.valuesIterator
@@ -120,6 +124,13 @@ object PdfParser {
             val obj = lexer.parseObject()
             val withStream = lexer.maybeStream(obj)
             out(num) = withStream
+            // jump past stream bodies so PDF syntax INSIDE stream data
+            // (e.g. an embedded PDF attachment) cannot register ghost
+            // objects that shadow the real ones
+            withStream match {
+              case _: PStream => i = math.max(i, lexer.pos - 1)
+              case _ =>
+            }
           } catch { case _: Exception => /* skip malformed object */ }
         }
       }
@@ -137,6 +148,13 @@ object PdfParser {
   /** Recursive-descent lexer/parser over raw bytes. */
   private final class Lexer(bytes: Array[Byte], var pos: Int) {
     private val n = bytes.length
+    private var depth = 0 // array/dict nesting; capped to bound recursion
+
+    private def enter(): Unit = {
+      depth += 1
+      if (depth > 128) throw new IllegalArgumentException(s"nesting too deep @ $pos")
+    }
+    private def exit(): Unit = depth -= 1
 
     def skipWs(): Unit = {
       var go = true
@@ -237,6 +255,7 @@ object PdfParser {
     }
 
     def parseArray(): PArr = {
+      enter()
       pos += 1 // '['
       val items = Vector.newBuilder[PdfObj]
       skipWs()
@@ -245,10 +264,12 @@ object PdfParser {
         skipWs()
       }
       if (pos < n) pos += 1
+      exit()
       PArr(items.result())
     }
 
     def parseDict(): PDict = {
+      enter()
       pos += 2 // '<<'
       val entries = Map.newBuilder[String, PdfObj]
       skipWs()
@@ -260,6 +281,7 @@ object PdfParser {
         skipWs()
       }
       pos = math.min(pos + 2, n)
+      exit()
       PDict(entries.result())
     }
 
@@ -288,7 +310,10 @@ object PdfParser {
       PNum(num)
     }
 
-    /** After a dict, check for `stream ... endstream`. */
+    /** After a dict, check for `stream ... endstream`. A direct /Length
+      * is honored first (spec-exact; also prevents PDF-syntax INSIDE the
+      * stream data from being mistaken for object space); the endstream
+      * scan is the fallback for indirect /Length refs. */
     def maybeStream(obj: PdfObj): PdfObj = obj match {
       case dict: PDict =>
         skipWs()
@@ -297,18 +322,46 @@ object PdfParser {
           if (pos < n && bytes(pos) == '\r') pos += 1
           if (pos < n && bytes(pos) == '\n') pos += 1
           val start = pos
-          // /Length may be an indirect ref we can't resolve here; scan for endstream
-          val end = indexOf("endstream", start)
-          val rawEnd = if (end < 0) n else end
-          var dataEnd = rawEnd
-          // strip the EOL that precedes endstream
-          if (dataEnd > start && bytes(dataEnd - 1) == '\n') dataEnd -= 1
-          if (dataEnd > start && bytes(dataEnd - 1) == '\r') dataEnd -= 1
-          val data = java.util.Arrays.copyOfRange(bytes, start, dataEnd)
-          pos = if (end < 0) n else end + 9
-          PStream(dict, data)
+          val direct: Option[Int] = dict.get("Length") match {
+            case Some(PNum(v)) if v >= 0 && v == math.floor(v) &&
+              start + v.toLong <= n => Some(v.toInt)
+            case _ => None
+          }
+          val viaLength = direct.filter { len =>
+            // validate: "endstream" follows within 2 EOL bytes
+            var p = start + len
+            if (p < n && bytes(p) == '\r') p += 1
+            if (p < n && bytes(p) == '\n') p += 1
+            p + 9 <= n && regionIsAt(p, "endstream")
+          }
+          viaLength match {
+            case Some(len) =>
+              val data = java.util.Arrays.copyOfRange(bytes, start, start + len)
+              var p = start + len
+              if (p < n && bytes(p) == '\r') p += 1
+              if (p < n && bytes(p) == '\n') p += 1
+              pos = p + 9
+              PStream(dict, data)
+            case None =>
+              val end = indexOf("endstream", start)
+              val rawEnd = if (end < 0) n else end
+              var dataEnd = rawEnd
+              // strip the EOL that precedes endstream
+              if (dataEnd > start && bytes(dataEnd - 1) == '\n') dataEnd -= 1
+              if (dataEnd > start && bytes(dataEnd - 1) == '\r') dataEnd -= 1
+              val data = java.util.Arrays.copyOfRange(bytes, start, dataEnd)
+              pos = if (end < 0) n else end + 9
+              PStream(dict, data)
+          }
         } else dict
       case other => other
+    }
+
+    private def regionIsAt(at: Int, word: String): Boolean = {
+      if (at + word.length > n) return false
+      var k = 0
+      while (k < word.length) { if (bytes(at + k) != word.charAt(k)) return false; k += 1 }
+      true
     }
 
     private def indexOf(needle: String, from: Int): Int = {
@@ -344,14 +397,15 @@ object PdfParser {
     }
   }
 
-  private def collectKids(node: PDict, r: Resolver): Vector[PDict] = {
+  private def collectKids(node: PDict, r: Resolver, depth: Int = 0): Vector[PDict] = {
+    if (depth > 32) return Vector.empty // cyclic /Kids guard
     nameOf(node, "Type") match {
       case Some("Page") => Vector(node)
       case _ =>
         node.get("Kids").map(r.resolve) match {
           case Some(PArr(kids)) =>
             kids.flatMap(k => r.resolve(k) match {
-              case d: PDict => collectKids(d, r)
+              case d: PDict => collectKids(d, r, depth + 1)
               case _ => Vector.empty
             })
           case _ => Vector.empty
@@ -546,19 +600,24 @@ object PdfParser {
     private val n = bytes.length
 
     def next(): Either[PdfObj, String] = {
-      lexer.skipWs()
-      if (lexer.pos >= n) return null
-      val b = bytes(lexer.pos)
-      if (b == '/' || b == '(' || b == '[' || b == '<' ||
-          isDigit(b) || b == '+' || b == '-' || b == '.') {
-        try Left(lexer.parseObject())
-        catch { case _: Exception => lexer.pos += 1; next() }
-      } else {
-        val start = lexer.pos
-        while (lexer.pos < n && !isDelim(bytes(lexer.pos))) lexer.pos += 1
-        if (lexer.pos == start) { lexer.pos += 1; return next() }
-        Right(new String(bytes, start, lexer.pos - start, StandardCharsets.US_ASCII))
+      // loop, not recursion: a long run of unparseable bytes must not
+      // grow the call stack
+      while (true) {
+        lexer.skipWs()
+        if (lexer.pos >= n) return null
+        val b = bytes(lexer.pos)
+        if (b == '/' || b == '(' || b == '[' || b == '<' ||
+            isDigit(b) || b == '+' || b == '-' || b == '.') {
+          try return Left(lexer.parseObject())
+          catch { case _: Exception => lexer.pos += 1 }
+        } else {
+          val start = lexer.pos
+          while (lexer.pos < n && !isDelim(bytes(lexer.pos))) lexer.pos += 1
+          if (lexer.pos == start) lexer.pos += 1
+          else return Right(new String(bytes, start, lexer.pos - start, StandardCharsets.US_ASCII))
+        }
       }
+      null // unreachable
     }
   }
 

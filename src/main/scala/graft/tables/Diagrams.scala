@@ -93,16 +93,8 @@ object Diagrams {
       xAxisLabel: Option[String] = None, yAxisLabel: Option[String] = None,
       labels: Seq[String] = Nil, dataSeries: Seq[ChartSeries] = Nil) {
 
-    // escape set exactly as Python json.dumps: named escapes for the
-    // common controls, \uXXXX only for the rest below 0x20
-    private def js(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"; case '\b' => "\\b"
-      case '\f' => "\\f"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
-    private def jnum(d: Double): String =
-      if (d == d.toLong.toDouble && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+    private def js(s: String): String = graft.analyzers.PyJson.jsString(s)
+    private def jnum(d: Double): String = graft.analyzers.PyJson.floatRepr(d)
     private def jarr(xs: Seq[String]): String = xs.mkString("[", ", ", "]")
 
     /** `DetectedChart.to_plotly_json` (:471-506) as a JSON string with
@@ -140,8 +132,7 @@ object Diagrams {
       def field(s: String): String =
         if (s.exists(c => c == ',' || c == '"' || c == '\r' || c == '\n'))
           "\"" + s.replace("\"", "\"\"") + "\"" else s
-      def num(d: Double): String =
-        if (d == d.toLong.toDouble && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+      def num(d: Double): String = graft.analyzers.PyJson.floatRepr(d)
       val sb = new java.lang.StringBuilder
       sb.append(("Label" +: dataSeries.map(_.name)).map(field).mkString(",")).append("\r\n")
       labels.zipWithIndex.foreach { case (label, i) =>
@@ -161,7 +152,7 @@ object Diagrams {
         labels.zipWithIndex.foreach { case (label, i) =>
           if (i < s.values.length) {
             val v = s.values(i)
-            val vs = if (v == v.toLong.toDouble && math.abs(v) < 1e15) s"${v.toLong}.0" else v.toString
+            val vs = graft.analyzers.PyJson.floatRepr(v)
             lines += s"""    "$label" : $vs"""
           }
         }

@@ -111,20 +111,7 @@ object Tables {
     /** `to_dict` (visual_extractor.py:164-203) as a JSON string with the
       * same key order, including the reconstruction forms. */
     def toJson: String = {
-      def js(s: String): String = "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case '\b' => "\\b"
-        case '\f' => "\\f"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-      def jnum(d: Double): String =
-        if (d == d.toLong.toDouble && math.abs(d) < 1e15) s"${d.toLong}.0"
-        else d.toString
+      import graft.analyzers.PyJson.{jsString => js, floatRepr => jnum}
       val cellsJson = cells.map { c =>
         s"""{"value": ${js(c.value)}, "row": ${c.row}, "col": ${c.col}, """ +
         s""""cell_type": ${js(c.cellType)}, "is_header": ${c.isHeader}, """ +
