@@ -9,7 +9,7 @@ import graft.extract.Extractor
   * (no Spark session) over 300 rows covering every payload-mix bucket. */
 class ByteIdentitySpec extends AnyFunSuite {
 
-  private val N = 300L
+  private val N = 1000L
 
   test("byte-identity: extracted fullText equals the expected contract per url") {
     var checked = 0
