@@ -189,6 +189,19 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "skew_salted_stats" -> ((s, dir) => {
+      // two-phase salted aggregation (hot-key path) must equal the direct
+      // group-by; decimal cast makes the cross-salt sum order-exact
+      val ev = t(s, dir, "events")
+        .withColumn("v", col("value").cast("decimal(18,2)"))
+      ops.Skew.saltedStats(ev, "event_type", "v", "event_id", salt = 16)
+        .select(col("event_type"),
+          col("total").cast("double").as("total"), col("cnt"),
+          col("min").cast("double").as("min"),
+          col("max").cast("double").as("max"))
+        .orderBy(col("event_type"))
+    }),
+
     "value_buckets" -> ((s, dir) => {
       t(s, dir, "events")
         .withColumn("bucket",
@@ -465,6 +478,14 @@ object SparkEntry {
         | SELECT user_id, event_type, value,
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "skew_salted_stats" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | COUNT(value) AS cnt,
+        | CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min,
+        | CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "value_buckets" ->
       """SELECT CASE WHEN value >= 160 THEN 'certain'
