@@ -298,6 +298,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_cluster" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val jittered = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+      Dedup.dedupByMinhash(docs.union(jittered).limit(4000), "doc_id", "text",
+          threshold = 0.6)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ngram_jaccard_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val jittered = docs.select((col("doc_id") + 1000000).as("doc_id"),

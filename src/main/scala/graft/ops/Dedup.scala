@@ -177,6 +177,64 @@ object Dedup {
         org.apache.spark.sql.functions.round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // --------------------------------------------- clusters & canonicals
+
+  /** Connected components over near-duplicate pairs: iterative
+    * min-label propagation (each round every node adopts the smallest
+    * label among itself and its neighbors). Near-dup clusters are
+    * small-diameter, so `rounds` = 10 converges far beyond realistic
+    * chain lengths; each round is one join + one aggregate, all
+    * DataFrame ops (no driver-side graph). Returns (id, component)
+    * where component = min id reachable within `rounds` hops. */
+  def components(pairs: DataFrame, rounds: Int = 10): DataFrame = {
+    // localCheckpoint (not just persist): iterative self-joins otherwise
+    // grow the logical plan superlinearly and analysis time explodes
+    // after a few rounds. On a cluster with an HDFS checkpoint dir,
+    // checkpoint() gives the same truncation with fault tolerance.
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var it = 0
+    var prevSum = Option.empty[java.math.BigDecimal]
+    var converged = false
+    while (it < rounds && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("id_b"), col("component").as("nbr")), "id_b")
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("nbr")).as("nbrMin"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbrMin"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      // per-node labels only ever decrease, so an unchanged sum means
+      // fixpoint — one cheap agg per round buys early exit
+      val s = labels.agg(sum(col("component")).cast("decimal(38,0)")).head.getDecimal(0)
+      if (prevSum.contains(s)) converged = true
+      prevSum = Some(s)
+      it += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-duplicate removal: MinHash-LSH pairs → connected
+    * components → keep ONE row per cluster (the smallest id — the
+    * deterministic canonical) plus every row that paired with nothing.
+    * The anti-join keeps the wide text column out of every shuffle
+    * except the final semi/anti joins on ids. */
+  def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashDupPairs(df, idCol, textCol, numHashes, bands, shingleK, threshold)
+    val comps = components(pairs)
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (weight 1 each). */

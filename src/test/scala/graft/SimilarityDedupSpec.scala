@@ -75,6 +75,33 @@ class SimilarityDedupSpec extends AnyFunSuite {
     pairs.foreach { case (_, _, c) => assert(c >= 0.99) }
   }
 
+  test("connected components + canonical selection collapse near-dup clusters") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    def jitter(offset: Long, tail: String) =
+      docs.select((col("doc_id") + offset).as("doc_id"),
+        concat(col("text"), lit(tail)).as("text"))
+    // clusters of 3: {d, d+1M, d+2M}
+    val tripled = docs.union(jitter(1000000, " tail one"))
+      .union(jitter(2000000, " tail two"))
+    val kept = Dedup.dedupByMinhash(tripled, "doc_id", "text", threshold = 0.6)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    // no planted jitter survives: every cluster's canonical is a base id
+    // (base docs may themselves be near-dups of each other, so the count
+    // can dip below 300 — that is correct extra deduplication)
+    assert(ids.forall(_ < 1000000), "a jittered copy survived dedup")
+    assert(kept.count() >= 250 && kept.count() <= 300,
+      s"unexpected canonical count ${kept.count()}")
+    // components label every member with a cluster minimum no larger
+    // than its own base id
+    val pairs = Dedup.minhashDupPairs(tripled, "doc_id", "text", threshold = 0.6)
+    val comps = Dedup.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    comps.foreach { case (id, c) => assert(c <= id) }
+    comps.filter(_._1 >= 1000000).foreach { case (id, c) =>
+      assert(c <= id % 1000000, s"jitter $id labeled $c above its base") }
+  }
+
   test("exact n-gram Jaccard dedup verifies minhash candidates") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).limit(300)
