@@ -122,11 +122,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
+    val line =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""extraction_docs_per_sec_c32":${f"$thr32%.1f"},"extraction_mb_per_sec_c32":${f"$mbps32%.1f"},""" +
       s""""extraction_docs_per_sec_c8":${f"$thr8%.1f"},"scaling_efficiency_8_to_32":${f"$efficiency%.3f"},""" +
-      s""""cpu_probe_efficiency_8_to_32":${f"$cpuCeiling%.3f"},"scaling_efficiency_vs_hw_ceiling":${f"$normalized%.3f"}}""")
+      s""""cpu_probe_efficiency_8_to_32":${f"$cpuCeiling%.3f"},"scaling_efficiency_vs_hw_ceiling":${f"$normalized%.3f"}}"""
+    // Machine-findable twice over (BENCH_r01 "parsed": null — the sbt
+    // logger prefix hid the line): the final bare stdout line AND a file.
+    Files.writeString(Paths.get("BENCH/bench.json"), line + "\n")
+    println(line)
   }
 
   /** 8-vs-N-thread throughput ratio of a pure LCG hash loop (plain Java

@@ -16,9 +16,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
+      // Driver contract (the driver's own stub wrote `$outDir/$name`): the
+      // oracle lookup is keyed by the dump's directory basename, so the
+      // round-1 `.parquet`-suffixed layout made every lookup miss
+      // (CORRECTNESS_r01: 34× no_oracle). Write the stub's layout as
+      // primary and mirror it under `<name>.parquet` so either basename
+      // convention the driver globs resolves — oracle_sql.json carries
+      // both keys.
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        copyDir(Paths.get(s"$outDir/$name"), Paths.get(s"$outDir/$name.parquet"))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -35,8 +44,26 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    System.err.println(
+      s"[verify] wrote ${SparkEntry.queries.size} query dumps and " +
+      s"${SparkEntry.oracleSql.size} oracle SQL entries to $outDir/oracle_sql.json")
     spark.stop()
+  }
+
+  /** Recursive copy (the dumps are tiny single-file parquet dirs). */
+  private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(dst)) { // clear stale mirror before overwrite
+      Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 }
