@@ -143,6 +143,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // R1/R2 page-classification thresholds + single-page structure
+    // roll-up, exercised through Extractor.classifyPage on a synthetic
+    // per-doc "page" (substr slice gives all three reachable classes)
+    "doc_structure" -> ((s, dir) => {
+      val classify = udf { (t: String) =>
+        val stripped = graft.analyzers.PyText.strip(if (t == null) "" else t)
+        val (pt, method, _, _, _) = graft.extract.Extractor.classifyPage(stripped.length, 0)
+        (pt, if (method == "ocr") "pure_scanned" else "pure_digital")
+      }
+      t(s, dir, "documents")
+        .withColumn("page_text", expr("substring(text, 1, cast(doc_id % 120 as int))"))
+        .withColumn("c", classify(col("page_text")))
+        .select(col("doc_id"), col("c._1").as("page_type"),
+          col("c._2").as("doc_structure"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // R4 additive complexity (Extractor.complexityScore) with synthetic
+    // page-count / format / language-hint variety so every band fires
+    "complexity_sql" -> ((s, dir) => {
+      val cx = udf { (len: Long, pages: Int, fmt: String, lang: String) =>
+        graft.extract.Extractor.complexityScore(len, pages, fmt, lang)
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          cx(length(col("text")).cast("long"),
+            (col("doc_id") % 60 + 1).cast("int"),
+            when(col("doc_id") % 2 === 0, "pdf").otherwise("html"),
+            when(col("doc_id") % 7 === 0, lit("zh")).otherwise(col("lang")))
+            .cast("int").as("complexity"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T5 keyword scoring shape: tf * ln(1 + total/(tf+1)), top 15
+    "keyword_topk_sql" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ", -1)).as("word"))
+        .filter(length(col("word")) > 3 && !col("word").rlike("^[0-9]+$"))
+      val total = toks.count()
+      toks.groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("score",
+          round(col("cnt") * log(lit(1.0) + lit(total.toDouble) / (col("cnt") + 1)), 4))
+        .orderBy(col("score").desc, col("word"))
+        .limit(15)
+    }),
+
     "lang_rollup" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("lang"))
@@ -187,6 +234,27 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("value"))
         .orderBy(col("user_id"))
+    }),
+
+    // window frame: per-user cumulative sum (ROWS UNBOUNDED PRECEDING)
+    "events_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("running"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "orders_daily" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("day"), col("o_orderstatus"))
     }),
 
     "skew_salted_stats" -> ((s, dir) => {
@@ -466,6 +534,56 @@ object SparkEntry {
     "lang_rollup" ->
       """SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // mirror of Extractor.classifyPage thresholds (ocr_engine.py:926-970)
+    // + the single-page R2 roll-up; ws set = Python str.strip ASCII chars
+    "doc_structure" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  length(trim(substr(text, 1, CAST(doc_id % 120 AS INT)),
+        |    ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) AS sc
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN sc < 10 THEN 'empty'
+        |  WHEN sc >= 50 THEN 'digital_text'
+        |  ELSE 'scanned_image' END AS page_type,
+        | CASE WHEN sc >= 10 AND sc < 50 THEN 'pure_scanned'
+        |  ELSE 'pure_digital' END AS doc_structure
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // mirror of Extractor.complexityScore (smart_router.py:218-242)
+    "complexity_sql" ->
+      """SELECT doc_id, CAST(LEAST(100, 50
+        | + CASE WHEN length(text) > 10485760 THEN 20
+        |        WHEN length(text) > 1048576 THEN 10 ELSE 0 END
+        | + CASE WHEN doc_id % 60 + 1 > 50 THEN 20
+        |        WHEN doc_id % 60 + 1 > 10 THEN 10 ELSE 0 END
+        | + CASE WHEN doc_id % 2 = 0 THEN 10 ELSE 0 END
+        | + CASE WHEN (CASE WHEN doc_id % 7 = 0 THEN 'zh' ELSE lang END)
+        |        IN ('zh','ja','ko','ar') THEN 15 ELSE 0 END) AS INT) AS complexity
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "keyword_topk_sql" ->
+      """WITH toks AS (
+        | SELECT word FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        | WHERE length(word) > 3 AND NOT regexp_matches(word, '^[0-9]+$'))
+        |SELECT word, COUNT(*) AS cnt,
+        | ROUND(COUNT(*) * ln(1.0 + (SELECT COUNT(*) FROM toks) / (COUNT(*) + 1)), 4) AS score
+        |FROM toks GROUP BY word ORDER BY score DESC, word LIMIT 15""".stripMargin,
+
+    "events_running_sum" ->
+      """SELECT user_id, event_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "orders_daily" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, o_orderstatus,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS digest, COUNT(*) AS cluster_size, MIN(doc_id) AS canonical_id

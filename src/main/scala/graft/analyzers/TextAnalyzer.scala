@@ -94,7 +94,7 @@ object TextAnalyzer {
     * scan over the lowered text (no intermediate mapped copy — this is
     * the hottest analyzer primitive). */
   def tokenize(text: String): Array[String] = {
-    val lowered = text.toLowerCase
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
     val n = lowered.length
     val out = ArrayBuffer.empty[String]
     var i = 0
@@ -267,7 +267,7 @@ object TextAnalyzer {
     else if (wc < 10) score -= 0.5
     else if (wc > 50) score -= 1.0
     if (sentence.exists(Character.isDigit)) score += 0.5
-    val lower = sentence.toLowerCase
+    val lower = sentence.toLowerCase(java.util.Locale.ROOT)
     keyIndicators.foreach { ind => if (lower.contains(ind)) score += 0.5 }
     score
   }

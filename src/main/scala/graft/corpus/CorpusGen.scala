@@ -9,9 +9,10 @@ import java.sql.Timestamp
   * distributed via spark.range(n).map(row). Schema per BASELINE.json
   * input_hint: (url, warc_ts, html BINARY, text, lang).
   *
-  * Payload mix per 100 rows: 70 HTML, 20 PDF, 5 empty/whitespace,
-  * 5 adversarial (truncated markup, unclosed script, bad entities,
-  * non-UTF8 bytes, mega-doc for the skew path).
+  * Payload mix per 100 rows: 70 HTML, 20 PDF, 2 empty/whitespace,
+  * 3 image-magic payloads (png/jpg/gif — exercise the S8 unsupported
+  * gate), 5 adversarial (truncated markup, unclosed script, bad
+  * entities, non-UTF8 bytes, mega-doc for the skew path).
   *
   * The expected main-content extraction per url is known BY CONSTRUCTION
   * (the generator authored the boilerplate and the content separately) —
@@ -205,7 +206,8 @@ $related
     case k if k < 89 =>
       Some(pdfLines(i).map(_.mkString("\n")).mkString("\n\n--- PAGE BREAK ---\n\n"))
     case 89 => None // truncated PDF
-    case k if k < 95 => Some("") // empty / whitespace-only payloads
+    case k if k < 92 => Some("") // empty / whitespace-only payloads
+    case k if k < 95 => None // image payloads: S8-gated (status unsupported)
     case 95 => // bad entities + stray '<' in text, still a valid contract
       val (title, paras) = htmlContent(i)
       Some((title +: (paras :+ oddities)).mkString("\n"))
@@ -225,6 +227,21 @@ $related
   private val oddities =
     "Values where 5 < 6 and x &notathing; stay as literal text tokens in this paragraph of sufficient length for the classifier rules here."
 
+  /** Image-magic payloads for the S8 format gate (k = 92 png, 93 jpg,
+    * 94 gif): correct signature bytes + deterministic junk — the gate
+    * must quarantine on magic alone, never attempt a decode. */
+  private def imagePayload(i: Long, k: Long): Array[Byte] = {
+    val r = rng(i * 23 + 11)
+    val junk = new Array[Byte](64 + r.nextInt(192))
+    r.nextBytes(junk)
+    val magic: Array[Byte] = k match {
+      case 92 => Array(0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      case 93 => Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+      case _  => "GIF89a".getBytes(StandardCharsets.US_ASCII)
+    }
+    magic ++ junk
+  }
+
   private def garbledPara(i: Long): Array[Byte] = {
     val r = rng(i * 17 + 3)
     val en = wordPool("en")
@@ -242,7 +259,8 @@ $related
       val full = pdfPayload(i - 1) // build a valid one, then truncate
       java.util.Arrays.copyOfRange(full, 0, full.length / 3)
     case 90 => Array.emptyByteArray
-    case k if k < 95 => "   \n\t  \n".getBytes(StandardCharsets.UTF_8)
+    case 91 => "   \n\t  \n".getBytes(StandardCharsets.UTF_8)
+    case k if k < 95 => imagePayload(i, k) // png/jpg/gif → S8 gate
     case 95 =>
       val base = htmlPayload(i)
       val extra = s"  <p>\n    ${oddities.replace("&notathing;", "&notathing;")}\n  </p>"

@@ -22,10 +22,29 @@ object Extractor {
   val PageBreak = "\n\n--- PAGE BREAK ---\n\n"
   val DirectConfidence = 0.99
 
-  /** Magic-byte format sniff (SURVEY.md S3, `smart_router.py:146-164`). */
+  /** Magic-byte format sniff (SURVEY.md S3, `smart_router.py:146-164`,
+    * same format vocabulary as the reference's extension map). Image
+    * formats are detected here so the S8 gate can quarantine them —
+    * without this a JPEG payload decodes as mojibake "HTML" with
+    * status ok (`ocr_engine.py:1432-1442` handles png/jpg/tiff/bmp/
+    * webp/gif explicitly; our deterministic engine has no OCR branch,
+    * so they become status `unsupported` and count as failures in the
+    * lineage tally). */
   def sniffFormat(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.isEmpty) return "empty"
     if (startsWith(bytes, "%PDF-")) return "pdf"
+    if (bytes.length >= 4) {
+      def at(i: Int, v: Int): Boolean = (bytes(i) & 0xFF) == v
+      if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) return "png"
+      if (at(0, 0xFF) && at(1, 0xD8) && at(2, 0xFF)) return "jpg"
+      if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8')) return "gif"
+      if (bytes.length >= 12 &&
+          at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+          at(8, 'W') && at(9, 'E') && at(10, 'B') && at(11, 'P')) return "webp"
+      if ((at(0, 'I') && at(1, 'I') && at(2, 0x2A) && at(3, 0)) ||
+          (at(0, 'M') && at(1, 'M') && at(2, 0) && at(3, 0x2A))) return "tiff"
+      if (at(0, 'B') && at(1, 'M')) return "bmp"
+    }
     // whitespace-only?
     var i = 0
     var allWs = true
@@ -37,6 +56,10 @@ object Extractor {
     if (allWs) return "empty"
     "html" // default: treat text-ish payloads as HTML (tokenizer degrades to text)
   }
+
+  /** Image formats the reference routes to its OCR models — gated to
+    * status `unsupported` here (S8; the deterministic engine has no OCR). */
+  private val imageFormats = Set("png", "jpg", "gif", "webp", "tiff", "bmp")
 
   private def startsWith(bytes: Array[Byte], prefix: String): Boolean = {
     if (bytes.length < prefix.length) return false
@@ -78,6 +101,8 @@ object Extractor {
       format match {
         case "empty" =>
           emptyResult(url, warcTs, langHint, format, hash, bytes.length)
+        case f if imageFormats.contains(f) =>
+          unsupportedResult(url, warcTs, langHint, format, hash, bytes.length)
         case "pdf" =>
           val doc = PdfParser.parse(bytes)
           if (doc.status == "error")
@@ -92,7 +117,8 @@ object Extractor {
               pageTexts = doc.pages.map(_.text),
               pageBlocks = doc.pages.map(p => Vector(("paragraph", p.text))),
               signatures = doc.signatures.map(s => SignatureOut(s.fieldName, s.signed)),
-              tables = tables)
+              tables = tables,
+              pageImages = doc.pages.map(_.imageCount))
           }
         case _ =>
           val htmlStr = new String(bytes, StandardCharsets.UTF_8)
@@ -144,10 +170,46 @@ object Extractor {
       t.data, t.isFinancial, t.hasTotalRow, t.toHtml, t.toMarkdown, t.toCsv)
   }
 
+  /** R1 per-page classification (`ocr_engine.py:926-970` decision chain,
+    * thresholds MIN_CHARS_PER_PAGE = 50 at `:571`, <10 chars & 0 images
+    * empty at `:926`). Image coverage is 0.0 in this engine (rect/CTM
+    * tracking out of scope) so the >0.3 / >0.7 coverage branches never
+    * fire; reachable classes: empty, digital_text, image_with_text (no
+    * text layer but images present), scanned_image (the default-else).
+    * Returns (pageType, extractionMethod, isDigital, isOcr, isMixed). */
+  def classifyPage(strippedChars: Int, imageCount: Int)
+      : (String, String, Boolean, Boolean, Boolean) = {
+    val hasTextLayer = strippedChars >= 50
+    if (strippedChars < 10 && imageCount == 0)
+      ("empty", "skip", false, false, false)
+    else if (hasTextLayer) // coverage 0.0 → never "significant images"
+      ("digital_text", "direct", true, false, false)
+    else if (imageCount > 0)
+      ("image_with_text", "ocr", false, true, false)
+    else
+      ("scanned_image", "ocr", false, true, false)
+  }
+
+  /** R4 additive complexity 0-100 (`smart_router.py:218-242`): base 50,
+    * size bands (>10 MB +20, >1 MB +10), page bands (>50 +20, >10 +10),
+    * pdf +10, non-Latin language hint +15, capped at 100. */
+  def complexityScore(sizeBytes: Long, pageCount: Int, format: String,
+      langHint: String): Int = {
+    var score = 50
+    if (sizeBytes > 10L * 1024 * 1024) score += 20
+    else if (sizeBytes > 1L * 1024 * 1024) score += 10
+    if (pageCount > 50) score += 20
+    else if (pageCount > 10) score += 10
+    if (format == "pdf") score += 10
+    if (Set("zh", "ja", "ko", "ar").contains(langHint)) score += 15
+    math.min(100, score)
+  }
+
   private def assemble(url: String, warcTs: Timestamp, langHint: String,
       format: String, hash: String, size: Long, title: String,
       pageTexts: Seq[String], pageBlocks: Seq[Seq[(String, String)]],
-      signatures: Seq[SignatureOut], tables: Seq[TableOut] = Nil): DocResult = {
+      signatures: Seq[SignatureOut], tables: Seq[TableOut] = Nil,
+      pageImages: Seq[Int] = Nil): DocResult = {
 
     val fullText = pageTexts.mkString(PageBreak)
     // single tokenize pass shared by the doc-level analyzers AND (for
@@ -182,12 +244,33 @@ object Extractor {
       }
       val stats = LangScript.pageStats(rawText)
       val lr = LangScript.detectLanguage(rawText, if (singlePage) tokens else null)
+      val imgCount = if (pi < pageImages.length) pageImages(pi) else 0
+      val (pType, pMethod, _, _, _) =
+        classifyPage(PyText.strip(rawText).length, imgCount)
       PageOut(pi + 1, rawText, stats.charCount, stats.wordCount,
         stats.lineCount, stats.paragraphCount, lr.script, lr.detected,
-        DirectConfidence, blocks)
+        DirectConfidence, blocks, pType, pMethod, imgCount)
     }
 
-    val lower = fullText.toLowerCase
+    // R2 roll-up (`ocr_engine.py:993-1023`): the reference counts mixed
+    // pages in BOTH digital_pages and mixed_pages; ocr_pages collects
+    // scanned + image_with_text. mixed_content is unreachable at
+    // coverage 0.0 but the formula keeps the reference shape.
+    val digitalCount = pages.count(p =>
+      p.pageType == "digital_text" || p.pageType == "mixed_content")
+    val ocrCount = pages.count(p =>
+      p.pageType == "scanned_image" || p.pageType == "image_with_text")
+    val mixedCount = pages.count(_.pageType == "mixed_content")
+    val (structureV, strategyV, estTimeV) =
+      if (ocrCount == 0 && mixedCount == 0)
+        ("pure_digital", "direct_extraction", 0.05 * pages.length)
+      else if (digitalCount == 0 && mixedCount == 0)
+        ("pure_scanned", "full_ocr", 10.0 * pages.length)
+      else
+        ("mixed", "hybrid_extraction",
+          0.05 * (digitalCount - mixedCount) + 10.0 * ocrCount + 12.0 * mixedCount)
+
+    val lower = fullText.toLowerCase(java.util.Locale.ROOT)
 
     // doc-level analysis (doc_analyzer suite, T4-T12) over the shared
     // token array
@@ -235,7 +318,11 @@ object Extractor {
       confidenceLevel = LangScript.confidenceLevel(avgConf),
       clarity = clarityV, sourceType = sourceV,
       schemaVersion = "2.1",
-      tables = tables)
+      tables = tables,
+      documentStructure = structureV,
+      recommendedStrategy = strategyV,
+      estimatedTimeSec = estTimeV,
+      complexityScore = complexityScore(size, pages.length, format, langHint))
   }
 
   private def emptyResult(url: String, warcTs: Timestamp, langHint: String,
@@ -251,4 +338,14 @@ object Extractor {
     DocResult(url, warcTs, langHint, format, hash, size, "error", err,
       "", 0, "", Nil, Nil, "unsigned", "other", Nil, Nil, Nil, Nil,
       "", "", Nil, "unknown", "unknown", 0L, 0L, 0.0, "uncertain", "poor", "ocr", "2.1")
+
+  /** S8 gate: image payloads the reference would OCR — quarantined with
+    * a machine-readable status (counts as a failure in lineage). */
+  private def unsupportedResult(url: String, warcTs: Timestamp,
+      langHint: String, format: String, hash: String, size: Long): DocResult =
+    errorResult(url, warcTs, langHint, format, hash, size,
+      s"unsupported format: $format (image payloads need the OCR branch, " +
+        "replaced per north rule)")
+      .copy(status = "unsupported",
+        complexityScore = complexityScore(size, 0, format, langHint))
 }

@@ -74,11 +74,13 @@ object Pipeline {
       struct(
         lit("2.1").as("pipeline_version"),
         col("pageCount").as("ocr_pages_processed"),
-        col("sourceType").as("strategy")
+        col("recommendedStrategy").as("strategy"),
+        col("estimatedTimeSec").as("estimated_processing_time"),
+        col("complexityScore").as("complexity_score")
       ).as("processing"),
-      // all extraction paths here are direct digital (no OCR branch),
-      // matching the reference's pure_digital structure class (R2)
-      lit("pure_digital").as("document_structure"),
+      // R2 roll-up computed from R1 per-page classification
+      // (`ocr_engine.py:993-1023`) — pure_digital / pure_scanned / mixed
+      col("documentStructure").as("document_structure"),
       col("pageCount").as("total_pages"),
       col("totalChars").as("total_characters"),
       col("totalWords").as("total_words"),
@@ -119,12 +121,25 @@ object Pipeline {
           "t.rows as rows, t.cols as cols, t.hasHeader as has_header, " +
           "t.headers as headers, t.data as data, t.isFinancial as is_financial, " +
           "t.hasTotalRow as has_total_row))").as("tables"),
-        size(col("tables")).as("total_tables")
+        size(col("tables")).as("total_tables"),
+        // diagram/chart detection is an AI stub returning None in the
+        // reference (`visual_extractor.py:889-898,965-974`) — the counts
+        // are structurally always 0, as there (`ocr_engine.py:1936-1942`)
+        lit(0).as("total_diagrams"),
+        lit(0).as("total_charts")
       ).as("visual_content"),
+      // per-render {table_id, page, <render>} structs + the always-present
+      // (empty) diagram/chart slots, per `ocr_engine.py:1905-1920`
       struct(
-        expr("transform(tables, t -> t.html)").as("tables_html"),
-        expr("transform(tables, t -> t.markdown)").as("tables_markdown"),
-        expr("transform(tables, t -> t.csv)").as("tables_csv")
+        expr("transform(tables, t -> struct(t.tableId as table_id, t.page as page, " +
+          "t.html as html))").as("tables_html"),
+        expr("transform(tables, t -> struct(t.tableId as table_id, t.page as page, " +
+          "t.markdown as markdown))").as("tables_markdown"),
+        expr("transform(tables, t -> struct(t.tableId as table_id, t.page as page, " +
+          "t.csv as csv))").as("tables_csv"),
+        array().cast("array<string>").as("diagrams_mermaid"),
+        array().cast("array<string>").as("charts_plotly"),
+        array().cast("array<string>").as("charts_csv")
       ).as("reconstruction"),
       when(col("error") =!= "", array(col("error")))
         .otherwise(array().cast("array<string>")).as("errors"),
@@ -134,7 +149,8 @@ object Pipeline {
 
   /** Compact JSON view (`EnhancedJSONOutput.to_compact_json`,
     * `intermediate_format.py:594-605`): full_text truncated at 1000 chars
-    * with "..." appended, exactly as the reference. */
+    * with "..." appended, and the entities key (the T8 named-entity
+    * array), matching the reference's compact shape. */
   def compactJsonView(results: Dataset[DocResult]): DataFrame = {
     results.select(col("url"), to_json(struct(
       col("url").as("job_id"),
@@ -143,6 +159,7 @@ object Pipeline {
       col("detectedLanguage").as("language"),
       col("signatureStatus").as("signature_status"),
       col("avgConfidence").as("confidence"),
+      col("entities").as("entities"),
       when(length(col("fullText")) > 1000,
         concat(substring(col("fullText"), 1, 1000), lit("...")))
         .otherwise(col("fullText")).as("full_text")
@@ -156,14 +173,18 @@ object Pipeline {
     * named entities (T8), keywords (T5), categories (T7) — the
     * LLM-extracted kinds are out of scope per SURVEY.md §2.11. */
   def entitiesView(results: Dataset[DocResult]): DataFrame = {
-    def kind(arrCol: String, name: String, conf: Double): DataFrame =
-      results.select(col("url"), explode(col(arrCol)).as("value"))
-        .select(col("url"), lit(name).as("field_name"), col("value"),
-          lit("text").as("type"), lit(conf).as("confidence"),
-          lit(1).as("page"))
-    kind("entities", "entity", 0.7)
-      .unionAll(kind("keywords", "keyword", 0.8))
-      .unionAll(kind("categories", "category", 0.6))
+    // ONE pass over the extraction results: the three entity kinds are
+    // concatenated into a single array-of-structs column and exploded
+    // once (the 3-way union of projections recomputed the full
+    // parse-and-analyze mapPartitions per leg).
+    results.select(col("url"), explode(concat(
+        expr("transform(entities, v -> struct('entity' as field_name, v as value, 0.7D as confidence))"),
+        expr("transform(keywords, v -> struct('keyword' as field_name, v as value, 0.8D as confidence))"),
+        expr("transform(categories, v -> struct('category' as field_name, v as value, 0.6D as confidence))")
+      )).as("e"))
+      .select(col("url"), col("e.field_name").as("field_name"),
+        col("e.value").as("value"), lit("text").as("type"),
+        col("e.confidence").as("confidence"), lit(1).as("page"))
   }
 
   /** Confidence distribution + low-confidence segments (A2/T16,

@@ -33,7 +33,12 @@ final case class PageOut(
     script: String,
     language: String,
     confidence: Double,
-    blocks: Seq[BlockOut])
+    blocks: Seq[BlockOut],
+    // R1 per-page structure analysis (`ocr_engine.py:875-1025`):
+    // digital_text | scanned_image | mixed_content | image_with_text | empty
+    pageType: String = "digital_text",
+    extractionMethod: String = "direct", // direct | ocr | hybrid | skip
+    imageCount: Int = 0)
 
 final case class SignatureOut(fieldName: String, signed: Boolean)
 
@@ -88,4 +93,13 @@ final case class DocResult(
     clarity: String,           // excellent|good|fair|poor (T17)
     sourceType: String,        // digital|ocr|hybrid (T17)
     schemaVersion: String,     // "2.1" (intermediate_format.py:539 + upgrade)
-    tables: Seq[TableOut] = Nil) // enhanced tables (§2.5 V1-V6, E9)
+    tables: Seq[TableOut] = Nil, // enhanced tables (§2.5 V1-V6, E9)
+    // R2 document-type roll-up (`ocr_engine.py:993-1023`):
+    // pure_digital | pure_scanned | mixed
+    documentStructure: String = "pure_digital",
+    recommendedStrategy: String = "direct_extraction", // | full_ocr | hybrid_extraction
+    // reference's per-strategy wall-time estimate (0.05 s/page digital,
+    // 10 s/page OCR, 12 s/page hybrid — `ocr_engine.py:1001-1016`)
+    estimatedTimeSec: Double = 0.0,
+    // R4 additive complexity 0-100 (`smart_router.py:218-242`)
+    complexityScore: Int = 50)

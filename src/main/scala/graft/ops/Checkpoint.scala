@@ -127,7 +127,8 @@ object Checkpoint {
       .agg(
         count(lit(1)).as("docCount"),
         sum(when(col("status") === "ok", 1L).otherwise(0L)).as("okCount"),
-        sum(when(col("status") === "error" || col("status") === "oversize", 1L)
+        sum(when(col("status") === "error" || col("status") === "oversize" ||
+            col("status") === "unsupported", 1L)
           .otherwise(0L)).as("failCount"),
         sum(when(col("status") === "empty", 1L).otherwise(0L)).as("emptyCount"),
         sum(col("sizeBytes")).as("inputBytes"))

@@ -54,7 +54,7 @@ object Dedup {
   /** Word k-shingles of a text, hashed to Long (MurmurHash3 of the
     * joined shingle). Lowercased, whitespace-tokenized. */
   def shingleHashes(text: String, k: Int): Array[Long] = {
-    val tokens = graft.analyzers.PyText.splitWs(text.toLowerCase)
+    val tokens = graft.analyzers.PyText.splitWs(text.toLowerCase(java.util.Locale.ROOT))
     if (tokens.length < k) {
       if (tokens.isEmpty) Array.empty
       else Array(scala.util.hashing.MurmurHash3.stringHash(tokens.mkString(" ")).toLong & 0xFFFFFFFFL)
@@ -239,7 +239,7 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens (weight 1 each). */
   def simhash64(text: String): Long = {
-    val tokens = graft.analyzers.PyText.splitWs(if (text == null) "" else text.toLowerCase)
+    val tokens = graft.analyzers.PyText.splitWs(if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
     if (tokens.isEmpty) return 0L
     val acc = new Array[Int](64)
     tokens.foreach { t =>

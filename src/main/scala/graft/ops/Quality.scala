@@ -39,7 +39,7 @@ object Quality {
     * 0.2–0.6; keyword-stuffed or non-linguistic text scores near 0). */
   def stopwordRatio(text: String): Double = {
     val toks = graft.analyzers.PyText.splitWs(
-      if (text == null) "" else text.toLowerCase)
+      if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
     if (toks.isEmpty) 0.0
     else toks.count(graft.analyzers.TextAnalyzer.stopwordsEn.contains).toDouble / toks.length
   }
@@ -47,7 +47,11 @@ object Quality {
   /** Composite quality score in [0,1] — deterministic heuristic:
     * length band + stopword ratio band + mean-word-length band +
     * punctuation sanity. Mirrors C4/Gopher-style filters (public). */
-  def qualityScore(text: String): Double = {
+  def qualityScore(text: String): Double =
+    qualityScoreWith(text, stopwordRatio(text))
+
+  /** qualityScore with the stopword ratio precomputed (fused-UDF path). */
+  private def qualityScoreWith(text: String, swr: Double): Double = {
     if (text == null || text.isEmpty) return 0.0
     val toks = graft.analyzers.PyText.splitWs(text)
     val n = toks.length
@@ -59,7 +63,6 @@ object Quality {
     val mwl = if (n == 0) 0.0 else toks.map(_.length).sum.toDouble / n
     if (mwl >= 3.0 && mwl <= 10.0) score += 0.25
     // stopword ratio
-    val swr = stopwordRatio(text)
     if (swr >= 0.15 && swr <= 0.6) score += 0.25
     else if (swr > 0.05) score += 0.1
     // terminal punctuation on at least some lines
@@ -78,7 +81,11 @@ object Quality {
     * dedup is needed. */
   def fingerprint64(text: String): Long = {
     if (text == null) return 0L
-    val norm = graft.html.Boilerplate.normalizeWs(text.toLowerCase)
+    fingerprintOfLower(text.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  private def fingerprintOfLower(lower: String): Long = {
+    val norm = graft.html.Boilerplate.normalizeWs(lower)
     var h = 1125899906842597L
     var i = 0
     while (i < norm.length) {
@@ -91,15 +98,23 @@ object Quality {
   final case class QualityStruct(stopword_ratio: Double, quality_score: Double,
       fingerprint: Long, detected_lang: String)
 
-  /** The scalar-function quartet fused into ONE UDF invocation so the
-    * document is lowercased/tokenized once per row, not four times —
-    * the column-expression metrics stay codegen'd. */
+  /** The scalar-function quartet fused into ONE UDF invocation, sharing
+    * one lowercase pass and one lowered-token split across the stopword
+    * ratio, the quality score's stopword band, and the fingerprint
+    * (language-ID keeps its own n-gram scan) — the column-expression
+    * metrics stay codegen'd. */
   def qualityStruct(text: String): QualityStruct = {
     val t = if (text == null) "" else text
+    val lower = t.toLowerCase(java.util.Locale.ROOT)
+    val lowerToks = graft.analyzers.PyText.splitWs(lower)
+    val swr =
+      if (lowerToks.isEmpty) 0.0
+      else lowerToks.count(graft.analyzers.TextAnalyzer.stopwordsEn.contains)
+        .toDouble / lowerToks.length
     QualityStruct(
-      stopwordRatio(t),
-      qualityScore(t),
-      fingerprint64(t),
+      swr,
+      qualityScoreWith(t, swr),
+      fingerprintOfLower(lower),
       graft.analyzers.LangScript.detectLanguage(t).detected)
   }
 

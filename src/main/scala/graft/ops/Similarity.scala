@@ -13,23 +13,89 @@ import org.apache.spark.sql.expressions.Window
   * staying inside Catalyst codegen — no UDFs. */
 object Similarity {
 
-  /** cosine(a, b) as a Column expression over two array<float> columns. */
+  /** cosine(a, b) as a Column expression over two array<float> columns —
+    * kept as the registration-free HOF reference form (specs assert the
+    * native expression matches it). */
   def cosineExpr(a: String, b: String): Column = expr(
     s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)
        | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))
        |    * sqrt(aggregate($b, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))))""".stripMargin.replace("\n", " "))
 
-  /** Brute-force cosine top-k for the query rows against the full set.
-    * Queries are broadcast (small side); the big side streams — one pass,
-    * no shuffle of the corpus. Output: (query_id, neighbor_id, cos, rank). */
+  /** The native codegen CosineSim Expression (one fused loop, no
+    * per-element lambdas) — the form every hot path below uses. */
+  private def nativeCos(df: DataFrame, a: String, b: String): Column = {
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    graft.functions.GraftExtensions.cosine(col(a), col(b))
+  }
+
+  /** Scalar cosine with identical semantics to CosineSim (dot over the
+    * zipped prefix, norms over each full array). */
+  def cosineScalar(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var sa = 0.0; var sb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; sa += x * x; sb += y * y; i += 1
+    }
+    while (i < a.length) { val x = a(i).toDouble; sa += x * x; i += 1 }
+    i = n
+    while (i < b.length) { val y = b(i).toDouble; sb += y * y; i += 1 }
+    dot / (math.sqrt(sa) * math.sqrt(sb))
+  }
+
+  /** Brute-force cosine top-k, scale-safe shape: queries are broadcast
+    * and each corpus partition keeps a BOUNDED k-heap per query, so the
+    * shuffle carries only numPartitions·Q·k candidate rows into the
+    * final exact re-rank — never the N·Q scored cross product (the
+    * window-over-everything form was a scale-killer per the round-1
+    * plan audit). Output: (query_id, neighbor_id, cos, rank). */
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val corpus = embeddings.select(col(idCol).as("neighbor_id"), col(embCol).as("emb_n"))
-    val qs = queries.select(col(idCol).as("query_id"), col(embCol).as("emb_q"))
-    val scored = corpus.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineExpr("emb_q", "emb_n"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // queries are small by contract (the broadcast side); driver-side
+    // collect is the same bound as the broadcast itself
+    val qRows = queries.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+    val bQ = spark.sparkContext.broadcast(qRows)
+    val partial = embeddings.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val qs = bQ.value
+        // eviction order: smallest cos first, ties evict the larger id
+        // (matches the rank order cos DESC, neighbor_id ASC)
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by { case (c, id) => (-c, id) }))
+        rows.foreach { case (nid, emb) =>
+          val v = emb.toArray
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv) = qs(qi)
+            if (qid != nid) {
+              val c = cosineScalar(qv, v)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((c, nid))
+              else {
+                val worst = h.head
+                if (c > worst._1 || (c == worst._1 && nid < worst._2)) {
+                  h.dequeue(); h.enqueue((c, nid))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val qid = qs(qi)._1
+          h.iterator.map { case (c, nid) => (qid, nid, c) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
+    partial
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -77,10 +143,11 @@ object Similarity {
       .withColumn("bucket", explode(bucketUdf(col("emb"))))
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
-    a.join(b, Seq("bucket"))
+    val joined = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", cosineExpr("emb_a", "emb_b"))
+    joined
+      .withColumn("cos", nativeCos(joined, "emb_a", "emb_b"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -154,12 +221,23 @@ object Similarity {
     * (deterministic). */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, sampleSize: Int = 2048,
+      sampleMod: Int = 16,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
-    val sample = embeddings
-      .select(col(idCol).as("id"), col(embCol).as("emb"))
+    // Deterministic hash-thinned training sample: the pmod filter keeps
+    // ~1/sampleMod of the corpus BEFORE the orderBy+limit (which compiles
+    // to TakeOrderedAndProject — per-partition k-heaps, no global sort of
+    // the full corpus). Round 1 ordered the whole corpus by id to pick
+    // 2048 rows — a full-corpus ordering pass at 100 TB.
+    val base = embeddings.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val thinned = base
+      .filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
       .orderBy(col("id")).limit(sampleSize)
       .collect().map(_.getSeq[Float](1).toArray)
+    val sample =
+      if (thinned.length >= math.max(nCentroids, 32)) thinned
+      else base.orderBy(col("id")).limit(sampleSize) // tiny corpus fallback
+        .collect().map(_.getSeq[Float](1).toArray)
     val centroids = trainCentroids(sample, nCentroids)
     val bCent = spark.sparkContext.broadcast(centroids)
 
@@ -178,9 +256,9 @@ object Similarity {
     val cands = corpus.join(broadcast(qs), Seq("centroid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", cosineExpr("emb_q", "emb_n"))
+    val scored = cands.withColumn("cos", nativeCos(cands, "emb_q", "emb_n"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    cands.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
@@ -208,9 +286,9 @@ object Similarity {
     val cands = corpus.join(broadcast(qs), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", cosineExpr("emb_q", "emb_n"))
+    val scored = cands.withColumn("cos", nativeCos(cands, "emb_q", "emb_n"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    cands.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }

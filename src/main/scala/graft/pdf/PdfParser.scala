@@ -47,7 +47,8 @@ object PdfParser {
     * grid lines are thin rects (SURVEY.md E9). */
   final case class Rect(x: Double, y: Double, w: Double, h: Double)
   final case class PdfPage(number: Int, lines: Vector[PdfLine],
-      runs: Vector[TextRun] = Vector.empty, rects: Vector[Rect] = Vector.empty) {
+      runs: Vector[TextRun] = Vector.empty, rects: Vector[Rect] = Vector.empty,
+      imageCount: Int = 0) {
     def text: String = lines.map(_.text).mkString("\n")
   }
   final case class PdfDoc(
@@ -64,7 +65,7 @@ object PdfParser {
       val pages = pageDicts.zipWithIndex.map { case (pd, i) =>
         val content = contentBytes(pd, resolver)
         val (lines, runs, rects) = extractContent(content)
-        PdfPage(i + 1, lines, runs, rects)
+        PdfPage(i + 1, lines, runs, rects, countImages(pd, resolver))
       }
       val sigs = findSignatures(resolver)
       PdfDoc(pages, sigs, "ok", "")
@@ -155,6 +156,13 @@ object PdfParser {
       if (depth > 128) throw new IllegalArgumentException(s"nesting too deep @ $pos")
     }
     private def exit(): Unit = depth -= 1
+
+    /** Callers that catch parse exceptions and keep reusing this Lexer
+      * (ContentLexer error recovery) must reset nesting — enter() is not
+      * paired with exit() on the throw path, so ~128 malformed nested
+      * objects would otherwise permanently trip the depth guard and
+      * silently drop the rest of the page's text. */
+    def resetDepth(): Unit = depth = 0
 
     def skipWs(): Unit = {
       var go = true
@@ -416,6 +424,28 @@ object PdfParser {
   private def nameOf(d: PDict, key: String): Option[String] =
     d.get(key).collect { case PName(v) => v }
 
+  /** Count /Subtype /Image XObjects in the page's resource dict — the
+    * image_count input to R1 page classification (the reference's
+    * `page.get_images`, `ocr_engine.py:906-908`). Image *coverage* needs
+    * content-stream CTM tracking and is documented out of scope
+    * (coverage = 0.0 → the >0.3/>0.7 branches never fire here). */
+  private def countImages(page: PDict, r: Resolver): Int = {
+    r.resolve(page.get("Resources").getOrElse(PNull)) match {
+      case res: PDict =>
+        r.resolve(res.get("XObject").getOrElse(PNull)) match {
+          case xo: PDict =>
+            xo.entries.values.count { v =>
+              r.resolve(v) match {
+                case PStream(d, _) => nameOf(d, "Subtype").contains("Image")
+                case _ => false
+              }
+            }
+          case _ => 0
+        }
+      case _ => 0
+    }
+  }
+
   private def contentBytes(page: PDict, r: Resolver): Array[Byte] = {
     def streamData(o: PdfObj): Array[Byte] = r.resolve(o) match {
       case PStream(dict, raw) => decodeStream(dict, raw)
@@ -609,7 +639,10 @@ object PdfParser {
         if (b == '/' || b == '(' || b == '[' || b == '<' ||
             isDigit(b) || b == '+' || b == '-' || b == '.') {
           try return Left(lexer.parseObject())
-          catch { case _: Exception => lexer.pos += 1 }
+          catch { case _: Exception =>
+            lexer.resetDepth() // enter() unpaired on the throw path
+            lexer.pos += 1
+          }
         } else {
           val start = lexer.pos
           while (lexer.pos < n && !isDelim(bytes(lexer.pos))) lexer.pos += 1

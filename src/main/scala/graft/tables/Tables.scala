@@ -238,7 +238,7 @@ object Tables {
     }
 
     val firstRowLower = firstRow.collect {
-      case c if c != null && c.nonEmpty => c.toLowerCase
+      case c if c != null && c.nonEmpty => c.toLowerCase(java.util.Locale.ROOT)
     }.mkString(" ")
     if (headerWords.exists(firstRowLower.contains)) indicators += 2
 
@@ -281,7 +281,7 @@ object Tables {
   def hasTotalRow(data: Seq[Seq[String]]): Boolean = {
     if (data.isEmpty) return false
     val last = data.last.collect {
-      case c if c != null && c.nonEmpty => c.toLowerCase
+      case c if c != null && c.nonEmpty => c.toLowerCase(java.util.Locale.ROOT)
     }.mkString(" ")
     Seq("total", "sum", "subtotal", "grand total", "totaux", "sous-total")
       .exists(last.contains)

@@ -23,8 +23,9 @@ class ByteIdentitySpec extends AnyFunSuite {
             s"\nurl=${row.url} (i=$i, bucket=${i % 100})\n--- expected ---\n${preview(expected)}\n--- got ---\n${preview(result.fullText)}\n")
           checked += 1
         case None =>
-          // no contract (corrupt inputs) — must not crash, must report status
-          assert(result.status == "ok" || result.status == "error" || result.status == "empty")
+          // no contract (corrupt/gated inputs) — must not crash, must
+          // report a machine-readable status
+          assert(Set("ok", "error", "empty", "unsupported").contains(result.status))
           skipped += 1
       }
     }
@@ -74,12 +75,68 @@ class ByteIdentitySpec extends AnyFunSuite {
     }
   }
 
+  test("image payloads are gated to status unsupported with the sniffed format (S3/S8)") {
+    val expect = Map(92L -> "png", 93L -> "jpg", 94L -> "gif")
+    expect.foreach { case (i, fmt) =>
+      val row = CorpusGen.row(i)
+      val result = Extractor.extract(row.url, row.warc_ts, row.html, row.lang)
+      assert(result.status == "unsupported", s"i=$i")
+      assert(result.format == fmt, s"i=$i got ${result.format}")
+      assert(result.fullText == "")
+    }
+    // raw magic sniffing for the formats not in the corpus mix
+    assert(Extractor.sniffFormat(Array('R', 'I', 'F', 'F', 0, 0, 0, 0,
+      'W', 'E', 'B', 'P').map(_.toByte)) == "webp")
+    assert(Extractor.sniffFormat(Array[Byte]('I', 'I', 0x2A, 0)) == "tiff")
+    assert(Extractor.sniffFormat(Array[Byte]('M', 'M', 0, 0x2A)) == "tiff")
+    assert(Extractor.sniffFormat("BM1234".getBytes) == "bmp")
+  }
+
+  test("R1/R2: per-page classification and document_structure roll-up") {
+    // digital HTML page → digital_text / pure_digital
+    val html = CorpusGen.row(0)
+    val r0 = Extractor.extract(html.url, html.warc_ts, html.html, html.lang)
+    assert(r0.pages.forall(_.pageType == "digital_text"))
+    assert(r0.documentStructure == "pure_digital")
+    assert(r0.recommendedStrategy == "direct_extraction")
+    assert(r0.estimatedTimeSec == 0.05 * r0.pageCount)
+    // classification thresholds (`ocr_engine.py:926-970`)
+    assert(Extractor.classifyPage(0, 0) == ("empty", "skip", false, false, false))
+    assert(Extractor.classifyPage(9, 0)._1 == "empty")
+    assert(Extractor.classifyPage(9, 2)._1 == "image_with_text")
+    assert(Extractor.classifyPage(49, 0)._1 == "scanned_image") // sub-threshold text layer
+    assert(Extractor.classifyPage(50, 0)._1 == "digital_text")
+  }
+
+  test("R4: additive complexity score (`smart_router.py:218-242`)") {
+    assert(Extractor.complexityScore(1000, 1, "html", "en") == 50)
+    assert(Extractor.complexityScore(1000, 1, "pdf", "en") == 60)
+    assert(Extractor.complexityScore(2L * 1024 * 1024, 1, "pdf", "en") == 70)
+    assert(Extractor.complexityScore(11L * 1024 * 1024, 60, "pdf", "zh") == 100)
+    assert(Extractor.complexityScore(1000, 11, "html", "ar") == 75)
+  }
+
   test("page-break join is the canonical document text (E4)") {
     val i = 72L // multi-page PDF bucket
     val row = CorpusGen.row(i)
     val result = Extractor.extract(row.url, row.warc_ts, row.html, row.lang)
     if (result.pageCount > 1)
       assert(result.fullText.contains("\n\n--- PAGE BREAK ---\n\n"))
+  }
+
+  test("analyzers are locale-independent under a tr-TR default locale") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      // Turkish default locale maps I → ı under toLowerCase() — every
+      // hot-path lowercase must pin Locale.ROOT or byte-identity breaks
+      val toks = graft.analyzers.TextAnalyzer.tokenize("III TITLE Invoice")
+      assert(toks.contains("iii") && toks.contains("title") && toks.contains("invoice"))
+      assert(graft.ops.Dedup.simhash64("TITLE INVOICE") ==
+             graft.ops.Dedup.simhash64("title invoice"))
+      assert(graft.ops.Quality.fingerprint64("INVOICE TOTAL") ==
+             graft.ops.Quality.fingerprint64("invoice total"))
+    } finally java.util.Locale.setDefault(prev)
   }
 
   private def preview(s: String): String =
