@@ -1,0 +1,30 @@
+package graft
+
+/** Single-threaded extractor microbenchmark (no Spark): per-doc cost of
+  * the parse+extract hot path, with and without the T4-T12 analyzer
+  * suite — the denominator of every scaling decision. Run:
+  * `sbt "runMain graft.MicroBench [nDocs]"`. */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(20000)
+    val rows = (0L until n.toLong).map(graft.corpus.CorpusGen.row).toArray
+    def leg(analysis: Boolean): Double = {
+      var acc = 0L
+      val t0 = System.nanoTime()
+      rows.foreach { r =>
+        val d = graft.extract.Extractor.extract(r.url, r.warc_ts, r.html, r.lang, analysis)
+        acc += d.fullText.length
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (acc == -1) println(acc) // keep the loop live
+      sec
+    }
+    // warm both paths to JIT plateau
+    leg(true); leg(false); leg(true); leg(false)
+    val withA = leg(true)
+    val withoutA = leg(false)
+    println(f"docs=$n  with-analysis: $withA%.2f s (${n / withA}%.0f docs/s)  " +
+      f"without: $withoutA%.2f s (${n / withoutA}%.0f docs/s)  " +
+      f"analyzer share: ${100 * (withA - withoutA) / withA}%.1f%%")
+  }
+}

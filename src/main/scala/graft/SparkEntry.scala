@@ -315,6 +315,14 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    "enhanced_json_v20" -> ((s, dir) => {
+      val corpus = CorpusGen.generate(s, 300, partitions = 8).toDF()
+      Pipeline.v20JsonView(Pipeline.run(corpus))
+        .select(col("url"), length(col("json")).as("json_chars"),
+          md5(col("json")).as("json_digest"))
+        .orderBy(col("url"))
+    }),
+
     "entities_exploded" -> ((s, dir) => {
       val corpus = CorpusGen.generate(s, 300, partitions = 8).toDF()
       Pipeline.entitiesView(Pipeline.run(corpus))

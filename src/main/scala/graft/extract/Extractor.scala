@@ -93,7 +93,38 @@ object Extractor {
     * text-pattern part only; vector-drawing check documented out of scope). */
   private val sigPatterns = Seq("signature", "signed by", "sign here", "per:", "by:", "signé", "firma")
 
-  def extract(url: String, warcTs: Timestamp, payload: Array[Byte], langHint: String): DocResult = {
+  /** `haystack.toLowerCase(ROOT).contains(needle)` without materializing
+    * the lowered copy — needle must be lowercase. ASCII fast path with an
+    * exact fallback for the non-ASCII pattern chars (é). */
+  private[extract] def containsAsciiLower(haystack: String, needle: String): Boolean = {
+    val n = needle.length
+    if (n == 0) return true
+    val max = haystack.length - n
+    var i = 0
+    while (i <= max) {
+      var k = 0
+      var ok = true
+      while (ok && k < n) {
+        val h = haystack.charAt(i + k)
+        val lh = if (h >= 'A' && h <= 'Z') (h + 32).toChar else Character.toLowerCase(h)
+        if (lh != needle.charAt(k)) ok = false
+        k += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
+  /** @param analysis run the doc-level analyzer suite (T4-T12: word
+    *   cloud, summary, doc type, keywords, entities). The extraction
+    *   contract (text, spans, pages, language, structure) is unaffected;
+    *   callers that only consume the contract columns pass false — the
+    *   compute analog of column pruning (the reference also runs
+    *   doc_analyzer only when building the enhanced output,
+    *   `ocr_engine.py:1826-1833`). */
+  def extract(url: String, warcTs: Timestamp, payload: Array[Byte],
+      langHint: String, analysis: Boolean = true): DocResult = {
     val bytes = if (payload == null) Array.emptyByteArray else payload
     val format = sniffFormat(bytes)
     val hash = sha256Hex(bytes)
@@ -118,7 +149,8 @@ object Extractor {
               pageBlocks = doc.pages.map(p => Vector(("paragraph", p.text))),
               signatures = doc.signatures.map(s => SignatureOut(s.fieldName, s.signed)),
               tables = tables,
-              pageImages = doc.pages.map(_.imageCount))
+              pageImages = doc.pages.map(_.imageCount),
+              analysis = analysis)
           }
         case _ =>
           val htmlStr = new String(bytes, StandardCharsets.UTF_8)
@@ -146,7 +178,8 @@ object Extractor {
             pageTexts = Vector(pageText),
             pageBlocks = Vector(typed),
             signatures = Vector.empty,
-            tables = htmlTables)
+            tables = htmlTables,
+            analysis = analysis)
       }
     } catch {
       // StackOverflowError is included deliberately: pathological nesting
@@ -209,13 +242,15 @@ object Extractor {
       format: String, hash: String, size: Long, title: String,
       pageTexts: Seq[String], pageBlocks: Seq[Seq[(String, String)]],
       signatures: Seq[SignatureOut], tables: Seq[TableOut] = Nil,
-      pageImages: Seq[Int] = Nil): DocResult = {
+      pageImages: Seq[Int] = Nil, analysis: Boolean = true): DocResult = {
 
     val fullText = pageTexts.mkString(PageBreak)
-    // single tokenize pass shared by the doc-level analyzers AND (for
-    // single-page docs, where rawText == fullText) page language-ID
-    val tokens = TextAnalyzer.tokenize(fullText)
     val singlePage = pageTexts.length == 1
+    // single tokenize pass shared by the doc-level analyzers AND (for
+    // single-page docs, where rawText == fullText) page language-ID;
+    // with analysis off it is only needed for the single-page lang-ID
+    val tokens =
+      if (analysis || singlePage) TextAnalyzer.tokenize(fullText) else null
 
     val pages = pageTexts.zipWithIndex.map { case (rawText, pi) =>
       var lineNo = 0
@@ -270,19 +305,28 @@ object Extractor {
         ("mixed", "hybrid_extraction",
           0.05 * (digitalCount - mixedCount) + 10.0 * ocrCount + 12.0 * mixedCount)
 
-    val lower = fullText.toLowerCase(java.util.Locale.ROOT)
-
     // doc-level analysis (doc_analyzer suite, T4-T12) over the shared
-    // token array
-    val wc = TextAnalyzer.wordCloudFromTokens(tokens)
-    val summary = TextAnalyzer.summarize(fullText, tokens)
-    val docType = TextAnalyzer.classifyDocType(lower)
-    val cats = TextAnalyzer.categories(lower)
-    val kws = TextAnalyzer.keywordsFromTokens(tokens)
-    val ents = TextAnalyzer.entities(fullText)
-
-    // signature roll-up (E7/E8)
-    val handwritten = sigPatterns.exists(lower.contains)
+    // token array — skipped wholesale when the caller only consumes the
+    // extraction contract
+    val (wc, summary, docType, cats, kws, ents, handwritten) =
+      if (analysis) {
+        val lower = fullText.toLowerCase(java.util.Locale.ROOT)
+        (TextAnalyzer.wordCloudFromTokens(tokens),
+          TextAnalyzer.summarize(fullText, tokens),
+          TextAnalyzer.classifyDocType(lower),
+          TextAnalyzer.categories(lower),
+          TextAnalyzer.keywordsFromTokens(tokens),
+          TextAnalyzer.entities(fullText),
+          sigPatterns.exists(lower.contains))             // E7
+      } else {
+        // E7 handwriting scan stays on (signatureStatus is contract
+        // metadata, not an analyzer) — containsIgnoreCaseAscii avoids
+        // materializing the lowered copy of the document
+        (TextAnalyzer.WordCloud(Nil, 0.0, 0L, 0L),
+          TextAnalyzer.Summary("", "", Nil, 0.0),
+          "other", Nil, Nil, Nil,
+          sigPatterns.exists(p => containsAsciiLower(fullText, p)))
+      }
     val digital = signatures.nonEmpty
     val sigStatus =
       if (digital && handwritten) "both"

@@ -25,9 +25,14 @@ object Pipeline {
 
   val DefaultOversizeBudget: Long = 256L * 1024 * 1024
 
+  /** @param analysis run the T4-T12 doc-analyzer suite inside the map
+    *   stage. Pass false when downstream only consumes the extraction
+    *   contract (text/spans/pages/language/structure) — compute pruning
+    *   to match Catalyst's column pruning. */
   def run(input: DataFrame,
       oversizeBudgetBytes: Long = DefaultOversizeBudget,
-      rebalancePartitions: Int = 0): Dataset[DocResult] = {
+      rebalancePartitions: Int = 0,
+      analysis: Boolean = true): Dataset[DocResult] = {
     val spark = input.sparkSession
     import spark.implicits._
     val pruned = input.select(col("url"), col("warc_ts"), col("html"), col("lang"))
@@ -43,7 +48,7 @@ object Pipeline {
             "", 0, "", Nil, Nil, "unsigned", "other", Nil, Nil, Nil, Nil,
             "", "", Nil, "unknown", "unknown", 0L, 0L, 0.0, "uncertain",
             "poor", "ocr", "2.1")
-        else Extractor.extract(r.url, r.warc_ts, r.html, r.lang)
+        else Extractor.extract(r.url, r.warc_ts, r.html, r.lang, analysis)
       }
     }
   }
@@ -143,6 +148,68 @@ object Pipeline {
       ).as("reconstruction"),
       when(col("error") =!= "", array(col("error")))
         .otherwise(array().cast("array<string>")).as("errors"),
+      col("fullText").as("full_text")
+    )).as("json"))
+  }
+
+  /** v2.0 enhanced-output JSON (`ocr_engine.py:1544-1596` — the builder
+    * the reference upgrades in place to 2.1): schema_version 2.0,
+    * document/processing blocks with the model-name slots, aggregate
+    * stats, signatures incl. the (empty) handwritten list, per-page
+    * content, confidence_distribution + low_confidence_segments (T16),
+    * full_text. Deterministic deviations, as in v2.1: no
+    * processing_timestamp / extraction_seconds wall-clock values (0),
+    * model name pinned to "deterministic_direct" (no model inference in
+    * this engine). */
+  def v20JsonView(results: Dataset[DocResult]): DataFrame = {
+    results.select(col("url"), to_json(struct(
+      lit("2.0").as("schema_version"),
+      col("url").as("job_id"),
+      struct(
+        col("url").as("original_filename"),
+        lit("").as("stored_filename"),
+        col("format").as("file_format"),
+        col("sizeBytes").as("file_size_bytes"),
+        col("sha256").as("file_hash_sha256"),
+        concat(lit("application/"), col("format")).as("mime_type")
+      ).as("document"),
+      struct(
+        lit("2.0").as("pipeline_version"),
+        lit("deterministic_direct").as("ocr_model_name"),
+        lit("").as("ocr_model_repository"),
+        col("pageCount").as("ocr_pages_processed"),
+        lit(0.0).as("extraction_seconds"),
+        col("docType").as("strategy")
+      ).as("processing"),
+      col("pageCount").as("total_pages"),
+      col("totalChars").as("total_characters"),
+      col("totalWords").as("total_words"),
+      col("detectedLanguage").as("primary_language"),
+      expr("array_distinct(transform(pages, p -> p.language))").as("languages_detected"),
+      struct(
+        col("signatureStatus").as("status"),
+        (size(col("signatures")) > 0).as("has_digital_signature"),
+        col("signatureStatus").isin("manually_signed", "both").as("has_handwritten_signature"),
+        size(col("signatures")).as("total_signature_count"),
+        expr("transform(signatures, s -> struct(s.fieldName as field_name, s.signed as signed))")
+          .as("digital_signatures"),
+        array().cast("array<string>").as("handwritten_signatures")
+      ).as("signatures"),
+      expr("transform(pages, p -> struct(" +
+        "p.pageNumber as page_number, p.rawText as text, " +
+        "p.charCount as char_count, p.wordCount as word_count, " +
+        "p.language as language, p.confidence as confidence))").as("pages"),
+      col("avgConfidence").as("overall_confidence"),
+      struct(
+        expr("size(filter(flatten(transform(pages, p -> p.blocks)), b -> b.confidence >= 0.95))").as("certain"),
+        expr("size(filter(flatten(transform(pages, p -> p.blocks)), b -> b.confidence >= 0.80 and b.confidence < 0.95))").as("high"),
+        expr("size(filter(flatten(transform(pages, p -> p.blocks)), b -> b.confidence >= 0.60 and b.confidence < 0.80))").as("medium"),
+        expr("size(filter(flatten(transform(pages, p -> p.blocks)), b -> b.confidence >= 0.40 and b.confidence < 0.60))").as("low"),
+        expr("size(filter(flatten(transform(pages, p -> p.blocks)), b -> b.confidence < 0.40))").as("uncertain")
+      ).as("confidence_distribution"),
+      expr("transform(filter(flatten(transform(pages, p -> p.blocks)), " +
+        "b -> b.confidence < 0.6), b -> substring(b.text, 1, 100))")
+        .as("low_confidence_segments"),
       col("fullText").as("full_text")
     )).as("json"))
   }

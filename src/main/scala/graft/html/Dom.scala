@@ -37,7 +37,7 @@ object DomBuilder {
 
   def parse(html: String): Element = build(HtmlTokenizer.tokenize(html))
 
-  def build(tokens: Vector[HtmlTokenizer.Token]): Element = {
+  def build(tokens: scala.collection.Seq[HtmlTokenizer.Token]): Element = {
     import HtmlTokenizer._
     val stack = new ArrayBuffer[OpenEl](16)
     stack += new OpenEl("#root", Map.empty)

@@ -31,7 +31,9 @@ object HtmlTokenizer {
   private val rawTextTags = Set("script", "style")
   private val rcdataTags  = Set("textarea", "title")
 
-  def tokenize(html: String): Vector[Token] = {
+  /** Returns the builder itself as an immutable-by-convention IndexedSeq
+    * (no defensive copy; the token stream is single-consumer). */
+  def tokenize(html: String): scala.collection.IndexedSeq[Token] = {
     val out = new ArrayBuffer[Token](256)
     val n = html.length
     var i = 0
@@ -111,11 +113,17 @@ object HtmlTokenizer {
         val (decoded, consumed) = Entities.decodeOne(html, i)
         text.append(decoded); i += consumed
       } else {
-        text.append(c); i += 1
+        // bulk-append the run of plain text up to the next markup char —
+        // one bounds-checked append instead of a call per character (the
+        // dominant byte class in crawled pages)
+        var j = i + 1
+        while (j < n && { val cc = html.charAt(j); cc != '<' && cc != '&' }) j += 1
+        text.append(html, i, j)
+        i = j
       }
     }
     flushText()
-    out.toVector
+    out
   }
 
   private def findCaseInsensitive(hay: String, needle: String, from: Int): Int = {

@@ -104,6 +104,53 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(json == json2)
   }
 
+  test("ANN / embedding-dedup plans use the native codegen cosine") {
+    val emb = spark.range(60).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 8), k -> cast(pmod(id * k, 7) as float))").as("embedding"))
+    for ((name, df) <- Seq(
+        "lshTopK" -> graft.ops.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 2), k = 3, dim = 8),
+        "ivfTopK" -> graft.ops.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 2), k = 3, nCentroids = 4, nProbe = 4),
+        "cosineDupPairs" -> graft.ops.Similarity.cosineDupPairs(emb, threshold = 0.5, dim = 8))) {
+      // the expression can be collapsed into aggregate result projections
+      // (not rendered by plan toString) — walk the optimized plan's
+      // expression trees for the actual CosineSim node
+      val hasNative = df.queryExecution.optimizedPlan.collect { case p => p }
+        .flatMap(_.expressions)
+        .exists(_.exists(_.isInstanceOf[graft.functions.CosineSim]))
+      assert(hasNative, s"$name must score with the native CosineSim expression")
+    }
+  }
+
+  test("entities view runs exactly one extraction MapPartitions") {
+    val df = Pipeline.entitiesView(Pipeline.run(spark.read.parquet(corpusPath)))
+    val planStr = df.queryExecution.executedPlan.toString
+    val mapParts = "MapPartitions".r.findAllIn(planStr).length
+    assert(mapParts == 1,
+      s"expected ONE MapPartitions (no per-kind recompute), got $mapParts:\n$planStr")
+  }
+
+  test("doc-structure fields land in the enhanced JSON") {
+    val results = Pipeline.run(spark.read.parquet(corpusPath))
+    val json = Pipeline.enhancedJsonView(results)
+      .filter(col("url") === CorpusGen.urlOf(0))
+      .select("json").as[String].head()
+    assert(json.contains("\"document_structure\":\"pure_digital\""))
+    assert(json.contains("\"complexity_score\":"))
+    assert(json.contains("\"estimated_processing_time\":"))
+  }
+
+  test("v2.0 JSON view carries the legacy schema surface") {
+    val results = Pipeline.run(spark.read.parquet(corpusPath))
+    val json = Pipeline.v20JsonView(results)
+      .filter(col("url") === CorpusGen.urlOf(0))
+      .select("json").as[String].head()
+    for (key <- Seq("\"schema_version\":\"2.0\"", "\"stored_filename\":",
+        "\"ocr_model_name\":", "\"confidence_distribution\":",
+        "\"low_confidence_segments\":", "\"handwritten_signatures\":",
+        "\"full_text\":"))
+      assert(json.contains(key), s"missing $key")
+  }
+
   test("compact JSON truncates full_text at 1000 chars with ellipsis") {
     val results = Pipeline.run(spark.read.parquet(corpusPath))
     val rows = Pipeline.compactJsonView(results).select("json").as[String].collect()
