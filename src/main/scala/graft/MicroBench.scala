@@ -26,5 +26,29 @@ object MicroBench {
     println(f"docs=$n  with-analysis: $withA%.2f s (${n / withA}%.0f docs/s)  " +
       f"without: $withoutA%.2f s (${n / withoutA}%.0f docs/s)  " +
       f"analyzer share: ${100 * (withA - withoutA) / withA}%.1f%%")
+
+    // stage split over the HTML subset (the 70% majority class)
+    val htmlRows = rows.filter(r => graft.extract.Extractor.sniffFormat(r.html) == "html")
+    val strs = htmlRows.map(r => new String(r.html, java.nio.charset.StandardCharsets.UTF_8))
+    def stage(name: String)(f: () => Unit): Unit = {
+      f(); f() // warm
+      val t0 = System.nanoTime()
+      f()
+      println(f"  stage $name%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    stage("decode")(() => htmlRows.foreach(r => new String(r.html, java.nio.charset.StandardCharsets.UTF_8)))
+    stage("tokenize")(() => strs.foreach(graft.html.HtmlTokenizer.tokenize))
+    val doms = strs.map(graft.html.DomBuilder.parse)
+    stage("dom")(() => strs.foreach(graft.html.DomBuilder.parse))
+    stage("boilerplate")(() => doms.foreach(graft.html.Boilerplate.segment))
+    stage("tables")(() => doms.foreach(graft.html.HtmlTables.extract))
+    stage("full-extract")(() => htmlRows.foreach(r =>
+      graft.extract.Extractor.extract(r.url, r.warc_ts, r.html, r.lang, analysis = false)))
+    val texts = doms.map(d => graft.html.Boilerplate.segment(d)
+      .filter(_.isContent).map(_.text).mkString("\n"))
+    stage("sha256")(() => htmlRows.foreach(r => graft.extract.Extractor.sha256Hex(r.html)))
+    stage("pageStats")(() => texts.foreach(graft.analyzers.LangScript.pageStats))
+    stage("script")(() => texts.foreach(graft.analyzers.LangScript.detectScript))
+    stage("langid")(() => texts.foreach(t => graft.analyzers.LangScript.detectLanguage(t)))
   }
 }

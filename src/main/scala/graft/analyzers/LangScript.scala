@@ -64,16 +64,79 @@ object LangScript {
   final case class LangResult(detected: String, confidence: Double,
       alternates: Seq[(String, Double)], script: String)
 
+  // Zero-allocation marker matching: profile words live in an
+  // open-addressing long-hash table (FNV-1a of the lowercased word →
+  // bitmask of profile indices); the scorer walks [\w-] token runs in
+  // the ORIGINAL string, lowercasing and hashing per char — no token
+  // substrings, no boxed map keys. Membership semantics are identical
+  // to `tokenize(text).count(words.contains)` for every marker word
+  // (all are plain letters whose per-char lowercase equals the
+  // string-level lowercase).
+  private val HashTableSize = 512 // power of 2, >> 4x the ~120 marker words
+  private val markerKeys = new Array[Long](HashTableSize)
+  private val markerMasks = new Array[Int](HashTableSize)
+  locally {
+    profiles.zipWithIndex.foreach { case ((_, words), idx) =>
+      words.foreach { w =>
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < w.length) { h ^= w.charAt(i); h *= 0x100000001b3L; i += 1 }
+        require(h != 0L, s"FNV(0) sentinel collision for marker '$w'")
+        var slot = (h & (HashTableSize - 1)).toInt
+        while (markerKeys(slot) != 0L && markerKeys(slot) != h)
+          slot = (slot + 1) & (HashTableSize - 1)
+        markerKeys(slot) = h
+        markerMasks(slot) |= 1 << idx
+      }
+    }
+  }
+
+  /** One scan of `text`: per-profile marker-hit counts + total [\w-]
+    * token count. Zero allocation. */
+  private def profileHits(text: String): (Array[Int], Int) = {
+    val counts = new Array[Int](profiles.length)
+    var nTokens = 0
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && {
+        val c = text.charAt(i); !(PyText.isWordChar(c) || c == '-')
+      }) i += 1
+      if (i < n) {
+        nTokens += 1
+        var h = 0xcbf29ce484222325L
+        while (i < n && {
+          val c = text.charAt(i); PyText.isWordChar(c) || c == '-'
+        }) {
+          h ^= Character.toLowerCase(text.charAt(i))
+          h *= 0x100000001b3L
+          i += 1
+        }
+        var slot = (h & (HashTableSize - 1)).toInt
+        while (markerKeys(slot) != 0L && markerKeys(slot) != h)
+          slot = (slot + 1) & (HashTableSize - 1)
+        if (markerKeys(slot) == h) {
+          val mask = markerMasks(slot)
+          var b = 0
+          while (b < counts.length) {
+            if ((mask & (1 << b)) != 0) counts(b) += 1
+            b += 1
+          }
+        }
+      }
+    }
+    (counts, nTokens)
+  }
+
   /** Deterministic language-ID: score = matched marker-word tokens per
     * language / total tokens; <20 chars stripped → unknown (mirrors
     * `ocr_engine.py:788-795`); non-Latin scripts short-circuit on script. */
   def detectLanguage(text: String): LangResult = detectLanguage(text, null)
 
-  /** Overload taking pre-computed tokens (must equal tokenize(text)) —
-    * lets the extraction hot path share one tokenize pass for
-    * single-page documents. */
+  /** The preTokens overload is kept for API compatibility; the internal
+    * zero-alloc scorer no longer needs pre-computed tokens. */
   def detectLanguage(text: String, preTokens: Array[String]): LangResult = {
-    if (text == null || PyText.strip(text).length < 20)
+    if (text == null || PyText.strippedLength(text) < 20)
       return LangResult("unknown", 0.0, Nil, "unknown")
     val script = detectScript(text)
     script match {
@@ -82,11 +145,9 @@ object LangScript {
       case "CJK" => return LangResult("zh", 0.9, Nil, script)
       case _ =>
     }
-    val tokens = if (preTokens != null) preTokens else TextAnalyzer.tokenize(text)
-    if (tokens.isEmpty) return LangResult("unknown", 0.0, Nil, script)
-    val hits = profiles.map { case (lang, words) =>
-      (lang, tokens.count(words.contains).toDouble)
-    }
+    val (counts, nTokens) = profileHits(text)
+    if (nTokens == 0) return LangResult("unknown", 0.0, Nil, script)
+    val hits = profiles.indices.map(i => (profiles(i)._1, counts(i).toDouble))
     val totalHits = hits.map(_._2).sum
     if (totalHits == 0) return LangResult("unknown", 0.0, Nil, script)
     val scored = hits.map { case (l, h) => (l, h / totalHits) }
@@ -104,12 +165,40 @@ object LangScript {
       paragraphCount: Int)
 
   /** `ocr_engine.py:1624-1631`: char_count=len, word_count=len(split()),
-    * line_count=len(split('\n')), paragraph_count=non-blank split('\n\n'). */
-  def pageStats(text: String): PageStats = PageStats(
-    text.length,
-    PyText.splitWs(text).length,
-    PyText.splitKeepEmpty(text, "\n").length,
-    PyText.splitKeepEmpty(text, "\n\n").count(p => PyText.strip(p).nonEmpty))
+    * line_count=len(split('\n')), paragraph_count=non-blank split('\n\n').
+    * Counting loops — no token/line arrays are materialized (this runs
+    * once per page in the extraction hot path). Semantics equivalence
+    * with the split-based forms is property-tested (GraftProps). */
+  def pageStats(text: String): PageStats = {
+    val n = text.length
+    var words = 0
+    var lines = 1 // len(s.split('\n')) == count('\n') + 1
+    var paragraphs = 0
+    var inWord = false
+    var segHasContent = false // non-ws chars in the current '\n\n' segment
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\n' && i + 1 < n && text.charAt(i + 1) == '\n') {
+        // non-overlapping '\n\n' separator (Python split semantics)
+        if (segHasContent) paragraphs += 1
+        segHasContent = false
+        lines += 2
+        inWord = false
+        i += 2
+      } else {
+        if (c == '\n') lines += 1
+        if (PyText.isPyWs(c)) inWord = false
+        else {
+          segHasContent = true
+          if (!inWord) { inWord = true; words += 1 }
+        }
+        i += 1
+      }
+    }
+    if (segHasContent) paragraphs += 1
+    PageStats(n, words, lines, paragraphs)
+  }
 
   // ------------------------------------------ T16/T17 confidence semantics
 

@@ -116,6 +116,44 @@ object Extractor {
     false
   }
 
+  // first lowercase chars of sigPatterns — the single-pass scan only
+  // attempts a pattern match at positions starting with one of these
+  private val sigFirstChars: Set[Char] = sigPatterns.map(_.charAt(0)).toSet
+  private val sigPatternsArr: Array[String] = sigPatterns.toArray
+
+  /** One pass over the document for the E7 handwriting scan: equivalent
+    * to `sigPatterns.exists(lower.contains)` without building the
+    * lowered copy or scanning once per pattern. */
+  private[extract] def containsAnySigPattern(haystack: String): Boolean = {
+    val n = haystack.length
+    var i = 0
+    while (i < n) {
+      val h = haystack.charAt(i)
+      val lh = if (h >= 'A' && h <= 'Z') (h + 32).toChar else Character.toLowerCase(h)
+      if (sigFirstChars.contains(lh)) {
+        val ps = sigPatternsArr
+        var p = 0
+        while (p < ps.length) {
+          val needle = ps(p)
+          if (needle.charAt(0) == lh && i + needle.length <= n) {
+            var k = 1
+            var ok = true
+            while (ok && k < needle.length) {
+              val c = haystack.charAt(i + k)
+              val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else Character.toLowerCase(c)
+              if (lc != needle.charAt(k)) ok = false
+              k += 1
+            }
+            if (ok) return true
+          }
+          p += 1
+        }
+      }
+      i += 1
+    }
+    false
+  }
+
   /** @param analysis run the doc-level analyzer suite (T4-T12: word
     *   cloud, summary, doc type, keywords, entities). The extraction
     *   contract (text, spans, pages, language, structure) is unaffected;
@@ -245,12 +283,9 @@ object Extractor {
       pageImages: Seq[Int] = Nil, analysis: Boolean = true): DocResult = {
 
     val fullText = pageTexts.mkString(PageBreak)
-    val singlePage = pageTexts.length == 1
-    // single tokenize pass shared by the doc-level analyzers AND (for
-    // single-page docs, where rawText == fullText) page language-ID;
-    // with analysis off it is only needed for the single-page lang-ID
-    val tokens =
-      if (analysis || singlePage) TextAnalyzer.tokenize(fullText) else null
+    // one tokenize pass shared across the doc-level analyzers (language
+    // ID has its own zero-alloc marker scanner and no longer needs it)
+    val tokens = if (analysis) TextAnalyzer.tokenize(fullText) else null
 
     val pages = pageTexts.zipWithIndex.map { case (rawText, pi) =>
       var lineNo = 0
@@ -258,30 +293,63 @@ object Extractor {
       val blocks = pageBlocks(pi).flatMap { case (blockType, blockText) =>
         if (blockText.isEmpty) None
         else {
-          val bStart = rawText.indexOf(blockText, cursor)
-          val start = if (bStart >= 0) bStart else cursor
-          val end = start + blockText.length
+          // Blocks compose rawText ("\n"-joined by both engine paths), so
+          // the next block sits at cursor or cursor+1 (past the
+          // separator) — verify with regionMatches (O(len)) instead of
+          // indexOf (O(page·len)); indexOf remains as the fallback and,
+          // by first-match-at-or-after-cursor semantics, returns the same
+          // position whenever the fast path matches.
+          val len = blockText.length
+          val start =
+            if (cursor + len <= rawText.length &&
+                rawText.regionMatches(cursor, blockText, 0, len)) cursor
+            else if (cursor + 1 + len <= rawText.length &&
+                rawText.regionMatches(cursor + 1, blockText, 0, len)) cursor + 1
+            else { val f = rawText.indexOf(blockText, cursor); if (f >= 0) f else cursor }
+          val verified = start + len <= rawText.length &&
+            rawText.regionMatches(start, blockText, 0, len)
+          val end = start + len
           cursor = end
-          val lines = scala.collection.mutable.ArrayBuffer.empty[LineOut]
-          var lineCursor = start
-          PyText.splitKeepEmpty(blockText, "\n").foreach { rawLine =>
-            val stripped = PyText.strip(rawLine)
-            if (stripped.nonEmpty) {
-              lineNo += 1
-              val ls = rawText.indexOf(stripped, lineCursor)
-              val lStart = if (ls >= 0) ls else lineCursor
-              lines += LineOut(lineNo, stripped, lStart, lStart + stripped.length)
-              lineCursor = lStart + stripped.length
+          val lines = new scala.collection.mutable.ArrayBuffer[LineOut](4)
+          if (verified) {
+            // rawText[start,end) == blockText: line spans are arithmetic
+            // (the search path provably returns the same offsets — the
+            // region between consecutive stripped lines is pure
+            // whitespace, which can never contain the next line's text)
+            var ls = 0
+            while (ls <= len) {
+              var le = blockText.indexOf('\n', ls)
+              if (le < 0) le = len
+              var a = ls; var b = le
+              while (a < b && PyText.isPyWs(blockText.charAt(a))) a += 1
+              while (b > a && PyText.isPyWs(blockText.charAt(b - 1))) b -= 1
+              if (b > a) {
+                lineNo += 1
+                lines += LineOut(lineNo, blockText.substring(a, b), start + a, start + b)
+              }
+              ls = le + 1
+            }
+          } else {
+            var lineCursor = start
+            PyText.splitKeepEmpty(blockText, "\n").foreach { rawLine =>
+              val stripped = PyText.strip(rawLine)
+              if (stripped.nonEmpty) {
+                lineNo += 1
+                val ls = rawText.indexOf(stripped, lineCursor)
+                val lStart = if (ls >= 0) ls else lineCursor
+                lines += LineOut(lineNo, stripped, lStart, lStart + stripped.length)
+                lineCursor = lStart + stripped.length
+              }
             }
           }
           Some(BlockOut(blockType, blockText, start, end, DirectConfidence, lines.toSeq))
         }
       }
       val stats = LangScript.pageStats(rawText)
-      val lr = LangScript.detectLanguage(rawText, if (singlePage) tokens else null)
+      val lr = LangScript.detectLanguage(rawText)
       val imgCount = if (pi < pageImages.length) pageImages(pi) else 0
       val (pType, pMethod, _, _, _) =
-        classifyPage(PyText.strip(rawText).length, imgCount)
+        classifyPage(PyText.strippedLength(rawText), imgCount)
       PageOut(pi + 1, rawText, stats.charCount, stats.wordCount,
         stats.lineCount, stats.paragraphCount, lr.script, lr.detected,
         DirectConfidence, blocks, pType, pMethod, imgCount)
@@ -325,7 +393,7 @@ object Extractor {
         (TextAnalyzer.WordCloud(Nil, 0.0, 0L, 0L),
           TextAnalyzer.Summary("", "", Nil, 0.0),
           "other", Nil, Nil, Nil,
-          sigPatterns.exists(p => containsAsciiLower(fullText, p)))
+          containsAnySigPattern(fullText))
       }
     val digital = signatures.nonEmpty
     val sigStatus =
@@ -355,7 +423,12 @@ object Extractor {
       summaryBrief = summary.brief, summaryDetailed = summary.detailed,
       keyPoints = summary.keyPoints,
       detectedLanguage = detectedLang,
-      script = LangScript.detectScript(fullText),
+      // single page ⇒ fullText == rawText; detectLanguage already ran
+      // detectScript on it when ≥20 stripped chars — reuse, skip a scan
+      script =
+        if (pages.length == 1 && PyText.strippedLength(fullText) >= 20)
+          pages.head.script
+        else LangScript.detectScript(fullText),
       totalChars = pages.map(_.charCount.toLong).sum,
       totalWords = pages.map(_.wordCount.toLong).sum,
       avgConfidence = avgConf,

@@ -48,7 +48,44 @@ object GraftProps extends Properties("graft") {
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
       val r = graft.extract.Extractor.extract("u", new java.sql.Timestamp(0),
         bytes.toArray, "en")
-      Seq("ok", "empty", "error").contains(r.status)
+      Seq("ok", "empty", "error", "unsupported").contains(r.status)
+    }
+
+  property("pageStats counting loops equal the split-based definitions") =
+    forAll(anyText) { s =>
+      val got = graft.analyzers.LangScript.pageStats(s)
+      got.charCount == s.length &&
+      got.wordCount == PyText.splitWs(s).length &&
+      got.lineCount == PyText.splitKeepEmpty(s, "\n").length &&
+      got.paragraphCount ==
+        PyText.splitKeepEmpty(s, "\n\n").count(p => PyText.strip(p).nonEmpty)
+    }
+
+  property("strippedLength equals strip(s).length") = forAll(anyText) { s =>
+    PyText.strippedLength(s) == PyText.strip(s).length
+  }
+
+  property("zero-alloc language scorer equals the token-membership scorer") =
+    forAll(anyText) { s =>
+      import graft.analyzers.LangScript
+      val got = LangScript.detectLanguage(s)
+      // reference scorer: tokenize + Set membership (the pre-round-2 form)
+      if (PyText.strippedLength(s) < 20 ||
+          !Seq("Latin", "Other", "Mixed", "unknown").contains(LangScript.detectScript(s))) true
+      else {
+        val tokens = TextAnalyzer.tokenize(s)
+        val hits = LangScript.profiles.map { case (l, words) =>
+          (l, tokens.count(words.contains).toDouble)
+        }
+        val total = hits.map(_._2).sum
+        if (tokens.isEmpty || total == 0) got.detected == "unknown"
+        else {
+          val expected = hits.map { case (l, h) => (l, h / total) }
+            .sortBy { case (l, p) => (-p, l) }.head
+          got.detected == expected._1 &&
+            got.confidence == PyText.pyRound(expected._2, 3)
+        }
+      }
     }
 
   property("html text nodes survive the tokenizer+dom for markup-free text") =

@@ -54,6 +54,42 @@ class StreamingSpec extends AnyFunSuite {
     direct.foreach { case (url, text) => assert(streamed(url) == text) }
   }
 
+  test("stateful streaming dedup: first-seen per digest across restarts") {
+    val root = Files.createTempDirectory("graft_stream_dedup_").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+
+    // batch 1: rows [0, 50) plus an in-batch duplicate of row 0's payload
+    val b1 = spark.range(0, 50, 1, 2).map(CorpusGen.row(_)).toDF()
+    val dupOfZero = spark.range(0, 1).map { _ =>
+      CorpusGen.row(0).copy(url = "https://dup.example/copy-of-0",
+        warc_ts = new java.sql.Timestamp(CorpusGen.tsOf(0).getTime + 1))
+    }.toDF()
+    b1.union(dupOfZero).write.mode("append").parquet(in)
+    graft.streaming.StatefulDedup.start(spark, in, out, ckpt).awaitTermination()
+
+    val r1 = spark.read.parquet(out)
+    assert(r1.count() == 50) // 51 rows, one duplicate digest absorbed
+    val zeroRow = r1.filter(col("url") === CorpusGen.urlOf(0))
+    assert(zeroRow.count() == 1, "earliest warc_ts wins as the canonical")
+    assert(zeroRow.select("batchDups").as[Long].head() == 1L)
+
+    // batch 2 after restart: a re-crawl of rows [0, 10) (same payloads,
+    // new urls) + genuinely new rows [50, 60) — state from the
+    // checkpoint suppresses the re-crawled duplicates
+    val recrawl = spark.range(0, 10, 1, 1).map { i =>
+      CorpusGen.row(i).copy(url = s"https://recrawl.example/$i",
+        warc_ts = new java.sql.Timestamp(CorpusGen.tsOf(i).getTime + 99999))
+    }.toDF()
+    val fresh = spark.range(50, 60, 1, 1).map(CorpusGen.row(_)).toDF()
+    recrawl.union(fresh).write.mode("append").parquet(in)
+    graft.streaming.StatefulDedup.start(spark, in, out, ckpt).awaitTermination()
+
+    val r2 = spark.read.parquet(out)
+    assert(r2.count() == 60, "10 new digests emitted, 10 re-crawls absorbed")
+    assert(r2.filter(col("url").startsWith("https://recrawl.example/")).count() == 0)
+    assert(r2.select("digest").distinct().count() == 60)
+  }
+
   test("watermarked daily roll-up over the results stream") {
     val root = Files.createTempDirectory("graft_stream_wm_").toString
     implicit val sqlCtx = spark.sqlContext
