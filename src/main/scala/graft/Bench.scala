@@ -50,17 +50,18 @@ object Bench {
     // Sized so the c32 extraction leg runs ~8s wall — short runs are
     // dominated by fixed stage-launch overhead and understate scaling
     // efficiency.
-    // 384k docs: with the analyzer suite out of the contract path the
-    // per-doc cost dropped ~3.7x — the corpus scales up so the c32 leg
-    // still runs ~8s wall (short runs are stage-launch-bound and
-    // understate efficiency)
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "384000").toLong
+    // 768k docs: the contract path runs ~100k docs/s at c32, so the leg
+    // needs a big corpus to stay ~8s wall (short runs are
+    // stage-launch-bound and understate efficiency)
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "768000").toLong
     val corpusPath = s"/tmp/graft_bench_corpus_$nDocs"
+    // one file per ~1000 docs (~2.7 MB, under the 4 MB maxPartitionBytes
+    // pin so file == task): task count scales with the corpus — ~24
+    // waves at c32, 96 at c8; the last-wave tail idles cores for a
+    // small fraction of the leg at both parallelism levels
+    val nFiles = math.max(64L, nDocs / 1000L).toInt
     if (!Files.exists(Paths.get(corpusPath))) {
-      // 384 files = 384 scan tasks (12 waves at 32 cores, 48 at 8) —
-      // enough waves that one straggler never gates a whole leg, and the
-      // last-wave tail idles cores for a smaller fraction at c32
-      graft.corpus.CorpusGen.generate(spark, nDocs, partitions = 384)
+      graft.corpus.CorpusGen.generate(spark, nDocs, partitions = nFiles)
         .write.mode("overwrite").parquet(corpusPath)
     }
     val corpusBytes = dirBytes(corpusPath)
