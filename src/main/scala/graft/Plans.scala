@@ -66,6 +66,34 @@ object Plans {
         ops.Dedup.minhashDupPairs(
           spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")),
 
+      ("Entities view (stage-2 explode)",
+        """Must hold: exactly ONE DeserializeToObject/MapPartitions pair —
+          |the three entity kinds are concatenated into one array-of-structs
+          |column and exploded once (Generate), never recomputed per kind.""".stripMargin,
+        graft.extract.Pipeline.entitiesView(
+          graft.extract.Pipeline.run(spark.read.parquet(corpusPath)))),
+
+      ("ANN IVF top-k (inverted lists + broadcast probes)",
+        """Must hold: probes arrive via BroadcastExchange; the scoring
+          |projection uses the native codegen graft_cosine expression; the
+          |centroid training sample is hash-thinned (pmod filter) before
+          |its TakeOrderedAndProject — no full-corpus ordering pass.""".stripMargin,
+        {
+          val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+          ops.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 4), k = 5,
+            nCentroids = 8, nProbe = 2)
+        }),
+
+      ("ANN brute-force top-k (bounded per-partition heaps)",
+        """Must hold: the pre-shuffle stage is a typed MapPartitions whose
+          |output is at most partitions x queries x k candidate rows; the
+          |window re-rank shuffles ONLY those candidates, never the N x Q
+          |scored cross product.""".stripMargin,
+        {
+          val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+          ops.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 4), k = 5)
+        }),
+
       ("Checkpoint output read with bucket pruning",
         """Must hold: PartitionFilters prunes to the requested bucket —
           |a resume run reads only the partitions it recomputes.""".stripMargin,

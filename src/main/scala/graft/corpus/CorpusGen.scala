@@ -184,8 +184,14 @@ $related
 
   def pdfPayload(i: Long): Array[Byte] = {
     val k = i % 100
-    PdfWriter.build(pdfLines(i), flate = k >= 85 && k <= 87, withSignature = k == 88,
-      table = if (k == 84) Some(tableMatrix(i)) else None)
+    if (k == 83) // scanned-style PDF: one page, no text layer, one image
+      PdfWriter.build(Seq(Seq.empty), imagePages = Set(0))
+    else
+      PdfWriter.build(pdfLines(i), flate = k >= 85 && k <= 87, withSignature = k == 88,
+        table = if (k == 84) Some(tableMatrix(i)) else None,
+        // k == 82: digital text page that ALSO carries an image XObject —
+        // exercises countImages on the digital_text classification path
+        imagePages = if (k == 82) Set(0) else Set.empty)
   }
 
   // ----------------------------------------------------- expected contract
@@ -196,6 +202,7 @@ $related
     case k if k < 70 =>
       val (title, paras) = htmlContent(i)
       Some((title +: paras).mkString("\n"))
+    case 83 => Some("") // scanned-style PDF: no text layer (image only)
     case 84 => // ruled-table PDF: cell runs extract after the page-1 lines
       val pages = pdfLines(i)
       val tableLines = tableMatrix(i)

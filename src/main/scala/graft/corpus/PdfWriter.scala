@@ -75,12 +75,15 @@ object PdfWriter {
     * so it extracts after them). */
   def build(pages: Seq[Seq[String]], flate: Boolean = false,
       withSignature: Boolean = false,
-      table: Option[Seq[Seq[String]]] = None): Array[Byte] = {
+      table: Option[Seq[Seq[String]]] = None,
+      imagePages: Set[Int] = Set.empty): Array[Byte] = {
     val nPages = pages.length
-    // object numbering: 1 catalog, 2 pages, 3 font, then per page: page obj, content obj
+    // object numbering: 1 catalog, 2 pages, 3 font, then per page: page
+    // obj, content obj; then optional sig field, optional shared image
     val pageObjNums = (0 until nPages).map(i => 4 + i * 2)
     val contentObjNums = (0 until nPages).map(i => 5 + i * 2)
     val sigObjNum = 4 + nPages * 2
+    val imgObjNum = sigObjNum + (if (withSignature) 1 else 0)
 
     val objs = scala.collection.mutable.LinkedHashMap.empty[Int, Array[Byte]]
     val acro = if (withSignature) s" /AcroForm << /Fields [$sigObjNum 0 R] >>" else ""
@@ -90,9 +93,11 @@ object PdfWriter {
     objs(3) = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>".getBytes(StandardCharsets.US_ASCII)
 
     pages.zipWithIndex.foreach { case (lines, i) =>
+      val xobj =
+        if (imagePages.contains(i)) s" /XObject << /Im1 $imgObjNum 0 R >>" else ""
       objs(pageObjNums(i)) =
         (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-         s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${contentObjNums(i)} 0 R >>")
+         s"/Resources << /Font << /F1 3 0 R >>$xobj >> /Contents ${contentObjNums(i)} 0 R >>")
           .getBytes(StandardCharsets.US_ASCII)
       val content = new StringBuilder("BT\n/F1 12 Tf\n")
       lines.zipWithIndex.foreach { case (line, j) =>
@@ -112,6 +117,17 @@ object PdfWriter {
       objs(sigObjNum) =
         "<< /FT /Sig /T (Signature1) /Type /Annot /Subtype /Widget /Rect [100 100 300 150] >>"
           .getBytes(StandardCharsets.US_ASCII)
+    }
+
+    if (imagePages.nonEmpty) {
+      // 8x8 DeviceGray image XObject (scanned-page fixtures for R1):
+      // deterministic ramp pixels, uncompressed
+      val px = Array.tabulate[Byte](64)(k => (k * 4).toByte)
+      objs(imgObjNum) =
+        ("<< /Type /XObject /Subtype /Image /Width 8 /Height 8 " +
+         s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length ${px.length} >>\nstream\n")
+          .getBytes(StandardCharsets.US_ASCII) ++ px ++
+        "\nendstream".getBytes(StandardCharsets.US_ASCII)
     }
 
     val out = new java.io.ByteArrayOutputStream(4096)

@@ -68,7 +68,8 @@ object StreamingExtract {
             results.groupBy()
               .agg(count(lit(1)).as("docCount"),
                 sum(when(col("status") === "ok", 1L).otherwise(0L)).as("okCount"),
-                sum(when(col("status") === "error" || col("status") === "oversize", 1L)
+                sum(when(col("status") === "error" || col("status") === "oversize" ||
+                    col("status") === "unsupported", 1L)
                   .otherwise(0L)).as("failCount"),
                 sum(col("sizeBytes")).as("inputBytes"),
                 max(col("batchId")).as("batchId"))

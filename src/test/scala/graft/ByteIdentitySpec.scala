@@ -92,6 +92,23 @@ class ByteIdentitySpec extends AnyFunSuite {
     assert(Extractor.sniffFormat("BM1234".getBytes) == "bmp")
   }
 
+  test("R1/R2 end-to-end: scanned and mixed-resource PDF fixtures") {
+    // bucket 83: image-only page, no text layer → image_with_text / pure_scanned
+    val scanned = CorpusGen.row(83)
+    val rs = Extractor.extract(scanned.url, scanned.warc_ts, scanned.html, scanned.lang)
+    assert(rs.status == "ok" && rs.fullText == "")
+    assert(rs.pages.map(_.pageType) == Seq("image_with_text"))
+    assert(rs.pages.head.imageCount == 1)
+    assert(rs.documentStructure == "pure_scanned")
+    assert(rs.recommendedStrategy == "full_ocr")
+    // bucket 82: digital text page that also carries an image XObject
+    val mixed = CorpusGen.row(82)
+    val rm = Extractor.extract(mixed.url, mixed.warc_ts, mixed.html, mixed.lang)
+    assert(rm.pages.head.imageCount == 1)
+    assert(rm.pages.head.pageType == "digital_text") // coverage 0.0 → not significant
+    assert(rm.documentStructure == "pure_digital")
+  }
+
   test("R1/R2: per-page classification and document_structure roll-up") {
     // digital HTML page → digital_text / pure_digital
     val html = CorpusGen.row(0)

@@ -32,6 +32,26 @@ class RobustnessSpec extends AnyFunSuite {
     assert(r.tables.head.data.head.length <= 512)
   }
 
+  test("rowspan bomb is clamped and carried values stay bounded") {
+    val html = """<html><body><main><p>Some real paragraph content with enough
+      |words to classify as content for the extraction gate here.</p>
+      |<table><tr><td rowspan="2000000000">x</td><td>a</td></tr>
+      |<tr><td>b</td></tr><tr><td>c</td></tr></table></main></body></html>""".stripMargin
+    val r = Extractor.extract("u", ts, html.getBytes(StandardCharsets.UTF_8), "en")
+    assert(r.status == "ok")
+    val t = r.tables.head
+    assert(t.rows <= 4)
+    // the rowspan cell's value carries into the later rows' first column
+    assert(t.data.forall(_.length <= 512))
+  }
+
+  test("rowspan carries cell values down into spanned rows") {
+    val dom = graft.html.DomBuilder.parse(
+      """<table><tr><td rowspan="2">A</td><td>B</td></tr><tr><td>C</td></tr></table>""")
+    val m = graft.html.HtmlTables.extract(dom)
+    assert(m.head == Vector(Vector("A", "B"), Vector("A", "C")))
+  }
+
   test("cyclic indirect references resolve to null, not infinite recursion") {
     val pdf = ("%PDF-1.4\n" +
       "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
