@@ -257,6 +257,37 @@ object SparkEntry {
         .orderBy(col("day"), col("o_orderstatus"))
     }),
 
+    // gap-based sessionization: lag + conditional cumsum assigns session
+    // ids (>30 min silence opens a session), then per-session roll-up
+    "events_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // correlated-subquery shape (TPC-H q2-style): suppliers at their
+    // nation's maximum account balance
+    "q_max_acctbal_suppliers" -> ((s, dir) => {
+      val su = t(s, dir, "supplier")
+      val maxBal = su.groupBy(col("s_nationkey").as("mk"))
+        .agg(max(col("s_acctbal")).as("max_bal"))
+      su.join(broadcast(maxBal),
+          col("s_nationkey") === col("mk") && col("s_acctbal") === col("max_bal"))
+        .select(col("s_nationkey"), col("s_suppkey"),
+          col("s_acctbal").cast("decimal(18,2)").cast("double").as("acctbal"))
+        .orderBy(col("s_nationkey"), col("s_suppkey"))
+    }),
+
     "skew_salted_stats" -> ((s, dir) => {
       // two-phase salted aggregation (hot-key path) must equal the direct
       // group-by; decimal cast makes the cross-salt sum order-exact
@@ -292,8 +323,32 @@ object SparkEntry {
       Pipeline.run(corpus)
         .select(col("url"), col("status"), col("format"), col("pageCount"),
           length(col("fullText")).as("text_chars"), col("docType"),
-          col("signatureStatus"), col("detectedLanguage"))
+          col("signatureStatus"), col("detectedLanguage"),
+          col("documentStructure").as("doc_structure"),
+          col("complexityScore").as("complexity"))
         .orderBy(col("url"))
+    }),
+
+    // image payloads through the batched multimodal feature stage
+    // (stubbed decode, real schema/partitioning contract)
+    "multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = CorpusGen.generate(s, 1000, partitions = 8)
+      val media = corpus
+        .filter(r => Set("png", "jpg", "gif")(
+          graft.extract.Extractor.sniffFormat(r.html)))
+        .map(r => ops.Multimodal.MediaRow(
+          // url suffix is the numeric corpus index
+          r.url.substring(r.url.lastIndexOf('/') + 1).toLong,
+          r.html,
+          ops.Multimodal.MediaMeta(ops.Multimodal.sniffMime(r.html),
+            32, 32, 1, 0L)))
+      ops.Multimodal.imageFeatures(media)
+        .toDF()
+        .select(col("id"), col("width"), col("height"),
+          round(col("meanLuma"), 4).as("mean_luma"),
+          col("histogram"), col("phash"))
+        .orderBy(col("id"))
     }),
 
     "extract_spans" -> ((s, dir) => {
@@ -592,6 +647,32 @@ object SparkEntry {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sessions" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts, value,
+        |  CASE WHEN prev_ts IS NULL
+        |        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        | FROM (
+        |  SELECT user_id, event_id, ts, value,
+        |   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)),
+        |sess AS (
+        | SELECT user_id, event_id, value,
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_max_acctbal_suppliers" ->
+      """SELECT s_nationkey, s_suppkey,
+        | CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |FROM supplier s
+        |WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS digest, COUNT(*) AS cluster_size, MIN(doc_id) AS canonical_id
