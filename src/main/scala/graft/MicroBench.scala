@@ -50,5 +50,24 @@ object MicroBench {
     stage("pageStats")(() => texts.foreach(graft.analyzers.LangScript.pageStats))
     stage("script")(() => texts.foreach(graft.analyzers.LangScript.detectScript))
     stage("langid")(() => texts.foreach(t => graft.analyzers.LangScript.detectLanguage(t)))
+
+    // analyzer-suite split (the analysis=true path)
+    import graft.analyzers.TextAnalyzer
+    val tokss = texts.map(TextAnalyzer.tokenize)
+    val lowers = texts.map(_.toLowerCase(java.util.Locale.ROOT))
+    stage("an-tokenize")(() => texts.foreach(TextAnalyzer.tokenize))
+    stage("an-lower")(() => texts.foreach(_.toLowerCase(java.util.Locale.ROOT)))
+    stage("an-wordcloud")(() => tokss.foreach(t => TextAnalyzer.wordCloudFromTokens(t)))
+    stage("an-summary")(() => texts.zip(tokss).foreach { case (t, k) => TextAnalyzer.summarize(t, k) })
+    stage("an-sentsplit")(() => texts.foreach(TextAnalyzer.splitSentences))
+    val sents = texts.map(TextAnalyzer.splitSentences)
+    val freqs = tokss.map(TextAnalyzer.wordFrequency)
+    stage("an-score")(() => sents.zip(freqs).foreach { case (ss, f) =>
+      ss.zipWithIndex.foreach { case (s, i) => TextAnalyzer.scoreSentence(s, i, ss.length, f) }
+    })
+    stage("an-doctype")(() => lowers.foreach(TextAnalyzer.classifyDocType))
+    stage("an-categories")(() => lowers.foreach(TextAnalyzer.categories))
+    stage("an-keywords")(() => tokss.foreach(t => TextAnalyzer.keywordsFromTokens(t)))
+    stage("an-entities")(() => texts.foreach(TextAnalyzer.entities))
   }
 }

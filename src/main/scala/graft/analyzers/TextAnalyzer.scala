@@ -187,11 +187,29 @@ object TextAnalyzer {
 
   /** T7 `_extract_categories` (doc_analyzer.py:426-440): types with ≥2
     * distinct indicator hits; Python set order pinned to lexicographic. */
-  def categories(textLower: String): Seq[String] = {
-    val cats = docTypeIndicators.collect {
-      case (t, indicators) if indicators.count(textLower.contains) >= 2 => t
+  def categories(textLower: String): Seq[String] =
+    docTypeAndCategories(textLower)._2
+
+  /** T6 + T7 fused: one countSub pass over the indicator table serves
+    * both the argmax score (count semantics) and the ≥2-distinct-hits
+    * category filter (contains ⇔ count > 0) — halves the substring
+    * scans when both are needed (the assemble path always needs both). */
+  def docTypeAndCategories(textLower: String): (String, Seq[String]) = {
+    var best = "other"
+    var bestScore = 0
+    val cats = ArrayBuffer.empty[String]
+    docTypeIndicators.foreach { case (t, indicators) =>
+      var score = 0
+      var hits = 0
+      indicators.foreach { ind =>
+        val c = PyText.countSub(textLower, ind)
+        score += c
+        if (c > 0) hits += 1
+      }
+      if (score > bestScore) { best = t; bestScore = score }
+      if (hits >= 2) cats += t
     }
-    cats.distinct.sorted.take(5)
+    (best, cats.distinct.sorted.take(5).toSeq)
   }
 
   // ----------------------------------------------------------- T8 entities
@@ -238,10 +256,17 @@ object TextAnalyzer {
 
   // ---------------------------------------------------- T9 sentence split
 
-  /** `_split_sentences` (doc_analyzer.py:287-303). */
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
+  private val sentenceSep = java.util.regex.Pattern.compile("(?<=[.!?])\\s+")
+
+  /** `_split_sentences` (doc_analyzer.py:287-303). Patterns precompiled
+    * (String.replaceAll/split compile per call — measurable per doc);
+    * the page-break replace is a literal, so non-regex String.replace
+    * is byte-identical. */
   def splitSentences(text: String): Seq[String] = {
-    val collapsed = text.replaceAll("\\s+", " ").replaceAll("--- PAGE BREAK ---", " ")
-    val parts = collapsed.split("(?<=[.!?])\\s+", -1)
+    val collapsed = wsRun.matcher(text).replaceAll(" ")
+      .replace("--- PAGE BREAK ---", " ")
+    val parts = sentenceSep.split(collapsed, -1)
     parts.iterator.map(PyText.strip)
       .filter(s => s.length > 20 && !s.startsWith("[") && !PyText.isUpper(s))
       .toSeq
@@ -260,7 +285,10 @@ object TextAnalyzer {
     else if (position == total - 1) score += 0.5
     val words = tokenize(sentence)
     words.foreach { w =>
-      if (wordFreq.contains(w) && !allStopwords(w)) score += wordFreq(w) * 0.1
+      wordFreq.get(w) match { // one hash lookup, not contains+apply
+        case Some(f) if !allStopwords(w) => score += f * 0.1
+        case _ =>
+      }
     }
     val wc = words.length
     if (wc >= 10 && wc <= 30) score += 1.0
@@ -290,7 +318,7 @@ object TextAnalyzer {
         "Le document ne contient pas de texte exploitable.", Nil, 0.0)
     val freq = wordFrequency(docTokens)
     val scored = sentences.zipWithIndex.collect {
-      case (s, i) if PyText.splitWs(s).length >= 5 =>
+      case (s, i) if wordCountWs(s) >= 5 =>
         (s, scoreSentence(s, i, sentences.length, freq), i)
     }
     val ranked = scored.zipWithIndex
@@ -303,6 +331,19 @@ object TextAnalyzer {
       if (detailed.length > 1000) detailed.substring(0, 1000) else detailed,
       keyPoints.take(5),
       if (ranked.length >= 3) 0.75 else 0.5)
+  }
+
+  /** `len(s.split())` without materializing the tokens. */
+  private def wordCountWs(s: String): Int = {
+    var words = 0
+    var inWord = false
+    var i = 0
+    while (i < s.length) {
+      if (PyText.isPyWs(s.charAt(i))) inWord = false
+      else if (!inWord) { inWord = true; words += 1 }
+      i += 1
+    }
+    words
   }
 
   private val bulletPattern = java.util.regex.Pattern.compile("[•\\-\\*]\\s*(.+?)(?=\\n|$)")

@@ -379,10 +379,10 @@ object Extractor {
     val (wc, summary, docType, cats, kws, ents, handwritten) =
       if (analysis) {
         val lower = fullText.toLowerCase(java.util.Locale.ROOT)
+        val (dt, cats) = TextAnalyzer.docTypeAndCategories(lower)
         (TextAnalyzer.wordCloudFromTokens(tokens),
           TextAnalyzer.summarize(fullText, tokens),
-          TextAnalyzer.classifyDocType(lower),
-          TextAnalyzer.categories(lower),
+          dt, cats,
           TextAnalyzer.keywordsFromTokens(tokens),
           TextAnalyzer.entities(fullText),
           sigPatterns.exists(lower.contains))             // E7
