@@ -351,6 +351,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // S2 base64 ingest: payloads arrive base64-encoded (Lambda body
+    // path); unbase64 decode must reproduce the binary-column results
+    "extract_base64" -> ((s, dir) => {
+      val corpus = CorpusGen.generate(s, 300, partitions = 8).toDF()
+        .select(col("url"), col("warc_ts"), base64(col("html")).as("html_b64"),
+          col("lang"))
+      Pipeline.runBase64(corpus)
+        .select(col("url"), col("status"), col("format"),
+          length(col("fullText")).as("text_chars"))
+        .orderBy(col("url"))
+    }),
+
     "extract_spans" -> ((s, dir) => {
       val corpus = CorpusGen.generate(s, 300, partitions = 8).toDF()
       Pipeline.contractView(Pipeline.run(corpus))

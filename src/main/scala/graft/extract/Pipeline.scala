@@ -53,6 +53,19 @@ object Pipeline {
     }
   }
 
+  /** S2 base64 ingest (the Lambda body path,
+    * `aws-lambda-ocr/lambda/handler.py:125-143`): rows arrive with the
+    * payload base64-encoded in a string column; `unbase64` (built-in,
+    * codegen'd) decodes it into the binary `html` column and the
+    * standard pipeline runs. Spark-first: the decode is a Catalyst
+    * expression in the scan projection, not a UDF. */
+  def runBase64(input: DataFrame, b64Col: String = "html_b64",
+      oversizeBudgetBytes: Long = DefaultOversizeBudget,
+      analysis: Boolean = true): Dataset[DocResult] = {
+    run(input.withColumn("html", unbase64(col(b64Col))),
+      oversizeBudgetBytes, analysis = analysis)
+  }
+
   /** v2.1 enhanced-output JSON per document (SURVEY.md S6/§1.3): one
     * JSON-string column shaped like the reference's
     * `build_enhanced_output_v21` dict (`ocr_engine.py:1783-1949` over

@@ -137,7 +137,52 @@ object PdfParser {
       }
       i += 1
     }
+    expandObjectStreams(out)
     out.toMap
+  }
+
+  /** PDF 1.5+ compressed object streams: any /Type /ObjStm stream holds
+    * /N objects serialized after a header of N (objnum, offset) pairs
+    * starting at /First. Decode (FlateDecode typically) and register the
+    * contained objects; directly-defined objects win on conflict (they
+    * were visible to the brute scan and are what a classic-xref reader
+    * would use). Common-Crawl PDFs are predominantly 1.5+ — without this
+    * the page tree of such files is invisible. */
+  private def expandObjectStreams(out: MHashMap[Int, PdfObj]): Unit = {
+    val streams = out.values.collect {
+      case s @ PStream(d, _) if nameOf(d, "Type").contains("ObjStm") => s
+    }.toVector
+    streams.foreach { s =>
+      try {
+        val data = decodeStream(s.dict, s.data)
+        val nObjs = s.dict.get("N") match {
+          case Some(PNum(v)) => v.toInt
+          case _ => 0
+        }
+        val first = s.dict.get("First") match {
+          case Some(PNum(v)) => v.toInt
+          case _ => 0
+        }
+        if (nObjs > 0 && first > 0 && first <= data.length) {
+          // header: N pairs of integers (objnum offset-within-body)
+          val header = new Lexer(data, 0)
+          val pairs = (0 until math.min(nObjs, 100000)).flatMap { _ =>
+            (header.parseObject(), header.parseObject()) match {
+              case (PNum(num), PNum(off)) => Some((num.toInt, off.toInt))
+              case _ => None
+            }
+          }
+          pairs.foreach { case (num, off) =>
+            if (first + off < data.length && !out.contains(num)) {
+              try {
+                val lx = new Lexer(data, first + off)
+                out(num) = lx.parseObject()
+              } catch { case _: Exception => /* skip malformed member */ }
+            }
+          }
+        }
+      } catch { case _: Exception => /* skip malformed ObjStm */ }
+    }
   }
 
   private def isWs(b: Byte): Boolean =

@@ -55,6 +55,40 @@ class PdfSpec extends AnyFunSuite {
     assert(doc.pages.head.text == "top\nbottom")
   }
 
+  test("PDF 1.5 compressed object streams (ObjStm) expose the page tree") {
+    // catalog/pages/page dicts live INSIDE a FlateDecode /ObjStm; only
+    // the content stream and the ObjStm itself are top-level objects
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = "<< /Type /Pages /Kids [4 0 R] /Count 1 >>"
+    val o4 = "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 5 0 R >>"
+    val body = o1 + " " + o2 + " " + o4
+    val header = s"1 0 2 ${o1.length + 1} 4 ${o1.length + 1 + o2.length + 1} "
+    val plain = (header + body).getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(plain); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) { val k = d.deflate(buf); out.write(buf, 0, k) }
+      d.end(); out.toByteArray
+    }
+    val content = "BT /F1 12 Tf 1 0 0 1 72 700 Tm (hello from objstm) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w(s"5 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    w(s"6 0 obj << /Type /ObjStm /N 3 /First ${header.length} " +
+      s"/Filter /FlateDecode /Length ${defl.length} >> stream\n")
+    out.write(defl)
+    w("\nendstream endobj\n")
+    w("trailer << /Size 7 /Root 1 0 R >>\n%%EOF\n")
+    val doc = PdfParser.parse(out.toByteArray)
+    assert(doc.status == "ok")
+    assert(doc.pages.length == 1)
+    assert(doc.pages.head.text == "hello from objstm")
+  }
+
   private def buildRawContentPdf(content: String): Array[Byte] = {
     val s = new StringBuilder
     s.append("%PDF-1.4\n")

@@ -37,6 +37,21 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
+  test("base64 ingest (S2) reproduces the binary-column extraction exactly") {
+    import spark.implicits._
+    val n = 120L
+    val corpus = graft.corpus.CorpusGen.generate(spark, n, partitions = 4).toDF()
+    val direct = graft.extract.Pipeline.run(corpus)
+      .select(col("url"), col("status"), col("fullText"))
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    val viaB64 = graft.extract.Pipeline.runBase64(
+        corpus.select(col("url"), col("warc_ts"),
+          base64(col("html")).as("html_b64"), col("lang")))
+      .select(col("url"), col("status"), col("fullText"))
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(viaB64 == direct)
+  }
+
   test("extraction is partitioning-invariant (distributed equivalence)") {
     import spark.implicits._
     val corpus = graft.corpus.CorpusGen.generate(spark, 60, partitions = 3).toDF()
