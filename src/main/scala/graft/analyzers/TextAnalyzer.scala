@@ -190,6 +190,33 @@ object TextAnalyzer {
   def categories(textLower: String): Seq[String] =
     docTypeAndCategories(textLower)._2
 
+  /** Stage-2 organizer doc-type variant (`organizer_engine.py:443-465`):
+    * PRESENCE scoring (1 per keyword found, not occurrence counts) over
+    * its own indicator table; argmax in insertion order, default
+    * "document". Coexists with the analyzer variant above exactly as in
+    * the reference (v2.1 output prefers the analyzer one,
+    * `ocr_engine.py:1831-1833`). */
+  val organizerIndicators: Seq[(String, Seq[String])] = Seq(
+    "invoice" -> Seq("invoice", "facture", "bill to", "due date", "total amount", "subtotal"),
+    "contract" -> Seq("agreement", "contract", "parties", "whereas", "terms and conditions"),
+    "report" -> Seq("report", "summary", "findings", "conclusion", "analysis"),
+    "letter" -> Seq("dear", "sincerely", "regards", "yours truly"),
+    "form" -> Seq("form", "please fill", "applicant", "signature"),
+    "receipt" -> Seq("receipt", "transaction", "paid", "change"),
+    "resume" -> Seq("resume", "cv", "curriculum", "experience", "education", "skills"))
+
+  def classifyDocTypeOrganizer(textLower: String): String = {
+    var best = "document"
+    var bestScore = 0
+    organizerIndicators.foreach { case (t, kws) =>
+      val score = kws.count(textLower.contains)
+      // Python: only types with score > 0 enter; max takes first max in
+      // insertion order among entered types
+      if (score > 0 && score > bestScore) { best = t; bestScore = score }
+    }
+    best
+  }
+
   /** T6 + T7 fused: one countSub pass over the indicator table serves
     * both the argmax score (count semantics) and the ≥2-distinct-hits
     * category filter (contains ⇔ count > 0) — halves the substring

@@ -51,6 +51,18 @@ object GraftProps extends Properties("graft") {
       Seq("ok", "empty", "error", "unsupported").contains(r.status)
     }
 
+  property("organizer doc-type: presence scoring, insertion-order argmax, 'document' default") =
+    Prop.all(
+      TextAnalyzer.classifyDocTypeOrganizer("invoice invoice invoice") == "invoice",
+      // presence (not count): one 'report' keyword ties with one 'dear';
+      // report enters first in insertion order and wins
+      TextAnalyzer.classifyDocTypeOrganizer("report dear") == "report",
+      TextAnalyzer.classifyDocTypeOrganizer("bill to due date subtotal") == "invoice",
+      TextAnalyzer.classifyDocTypeOrganizer("nothing matching at all") == "document",
+      // analyzer variant on the same text can disagree — both exist in
+      // the reference (v2.1 prefers the analyzer one)
+      TextAnalyzer.classifyDocType("facture invoice montant total") == "invoice")
+
   property("pageStats counting loops equal the split-based definitions") =
     forAll(anyText) { s =>
       val got = graft.analyzers.LangScript.pageStats(s)
