@@ -288,6 +288,23 @@ object SparkEntry {
         .orderBy(col("s_nationkey"), col("s_suppkey"))
     }),
 
+    // as-of join: each event picks up the latest prior per-day order
+    // total of the matching customer (union + carry-forward window —
+    // one shuffle on the key; DuckDB's native ASOF JOIN is the oracle)
+    "events_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("order_total"))
+      ops.AsofJoin.asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("order_total"))
+        .select(col("event_id"), col("user_id"),
+          round(col("order_total"), 2).as("order_total"))
+        .orderBy(col("event_id"))
+    }),
+
     "skew_salted_stats" -> ((s, dir) => {
       // two-phase salted aggregation (hot-key path) must equal the direct
       // group-by; decimal cast makes the cross-salt sum order-exact
@@ -707,6 +724,16 @@ object SparkEntry {
         | SELECT user_id, event_type, value,
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "events_asof" ->
+      """WITH ord AS (
+        | SELECT o_custkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total
+        | FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, ROUND(o.order_total, 2) AS order_total
+        |FROM events e ASOF LEFT JOIN ord o
+        | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
 
     "skew_salted_stats" ->
       """SELECT event_type,
