@@ -468,6 +468,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // bounded all-pairs token-set Jaccard — the ORACLE-CHECKED exact
+    // form of the similarity metric (80 docs => 3160 pairs; the scale
+    // path for the same metric is the MinHash-LSH candidate pipeline
+    // below, which never goes all-pairs)
+    "jaccard_pairs_sql" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id"),
+          array_distinct(split(lower(col("text")), " ", -1)).as("toks"))
+      val a = docs.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard", round(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))), 4))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "ngram_jaccard_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val jittered = docs.select((col("doc_id") + 1000000).as("doc_id"),
@@ -724,6 +743,18 @@ object SparkEntry {
         | SELECT user_id, event_type, value,
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "jaccard_pairs_sql" ->
+      """WITH d AS (
+        | SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+        | FROM documents WHERE doc_id < 80),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(a.toks || b.toks)), 4) AS jaccard
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p
+        |WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
     "events_asof" ->
       """WITH ord AS (
