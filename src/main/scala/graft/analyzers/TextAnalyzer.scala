@@ -174,16 +174,8 @@ object TextAnalyzer {
 
   /** `_classify_document_type` (doc_analyzer.py:407-424): substring-count
     * scoring, argmax in indicator-table order, "other" if all zero. */
-  def classifyDocType(textLower: String): String = {
-    var best = "other"
-    var bestScore = 0
-    docTypeIndicators.foreach { case (t, indicators) =>
-      var score = 0
-      indicators.foreach { ind => score += PyText.countSub(textLower, ind) }
-      if (score > bestScore) { best = t; bestScore = score }
-    }
-    best
-  }
+  def classifyDocType(textLower: String): String =
+    docTypeAndCategories(textLower)._1
 
   /** T7 `_extract_categories` (doc_analyzer.py:426-440): types with ≥2
     * distinct indicator hits; Python set order pinned to lexicographic. */
@@ -217,11 +209,21 @@ object TextAnalyzer {
     best
   }
 
-  /** T6 + T7 fused: one countSub pass over the indicator table serves
-    * both the argmax score (count semantics) and the ≥2-distinct-hits
-    * category filter (contains ⇔ count > 0) — halves the substring
-    * scans when both are needed (the assemble path always needs both). */
+  // one automaton over the distinct indicator vocabulary (built once,
+  // broadcast-free: executor-side object initialization)
+  private lazy val indicatorMatcher: (MultiPattern, Map[String, Int]) = {
+    val distinctWords = docTypeIndicators.flatMap(_._2).distinct
+    (new MultiPattern(distinctWords), distinctWords.zipWithIndex.toMap)
+  }
+
+  /** T6 + T7 fused: ONE Aho-Corasick pass over the indicator vocabulary
+    * (Python count semantics per word — equivalence property-tested)
+    * serves both the argmax score and the ≥2-distinct-hits category
+    * filter (contains ⇔ count > 0). Replaces ~150 full-text indexOf
+    * sweeps per document. */
   def docTypeAndCategories(textLower: String): (String, Seq[String]) = {
+    val (mp, idx) = indicatorMatcher
+    val counts = mp.countAll(textLower)
     var best = "other"
     var bestScore = 0
     val cats = ArrayBuffer.empty[String]
@@ -229,7 +231,7 @@ object TextAnalyzer {
       var score = 0
       var hits = 0
       indicators.foreach { ind =>
-        val c = PyText.countSub(textLower, ind)
+        val c = counts(idx(ind))
         score += c
         if (c > 0) hits += 1
       }

@@ -63,6 +63,47 @@ object GraftProps extends Properties("graft") {
       // the reference (v2.1 prefers the analyzer one)
       TextAnalyzer.classifyDocType("facture invoice montant total") == "invoice")
 
+  private val indicatorText: Gen[String] = {
+    val vocab = TextAnalyzer.docTypeIndicators.flatMap(_._2)
+    Gen.listOf(Gen.oneOf(
+      Gen.oneOf(vocab), Gen.alphaLowerStr.map(_.take(6)), Gen.const(" ")))
+      .map(_.mkString(" "))
+  }
+
+  property("Aho-Corasick countAll equals per-word Python countSub") =
+    forAll(indicatorText) { s =>
+      val words = TextAnalyzer.docTypeIndicators.flatMap(_._2).distinct
+      val mp = new graft.analyzers.MultiPattern(words)
+      val got = mp.countAll(s).toSeq
+      val expected = words.map(w => PyText.countSub(s, w))
+      got == expected
+    }
+
+  property("Aho-Corasick non-overlap counting on self-bordering patterns") =
+    Prop.all(
+      new graft.analyzers.MultiPattern(Seq("aa")).countAll("aaaa").toSeq == Seq(2),
+      new graft.analyzers.MultiPattern(Seq("aa", "aaa")).countAll("aaaaa").toSeq ==
+        Seq(PyText.countSub("aaaaa", "aa"), PyText.countSub("aaaaa", "aaa")),
+      new graft.analyzers.MultiPattern(Seq("ab", "bab")).countAll("babab").toSeq ==
+        Seq(PyText.countSub("babab", "ab"), PyText.countSub("babab", "bab")),
+      new graft.analyzers.MultiPattern(Seq("résultat", "tat")).countAll("résultat tat").toSeq ==
+        Seq(1, 2))
+
+  property("docTypeAndCategories via automaton equals the countSub definition") =
+    forAll(indicatorText) { s =>
+      val (dt, cats) = TextAnalyzer.docTypeAndCategories(s)
+      // reference form: per-type sums of countSub + >=2 contains filter
+      var best = "other"; var bestScore = 0
+      val expCats = scala.collection.mutable.ArrayBuffer.empty[String]
+      TextAnalyzer.docTypeIndicators.foreach { case (t, inds) =>
+        val score = inds.map(i => PyText.countSub(s, i)).sum
+        val hits = inds.count(s.contains)
+        if (score > bestScore) { best = t; bestScore = score }
+        if (hits >= 2) expCats += t
+      }
+      dt == best && cats == expCats.distinct.sorted.take(5).toSeq
+    }
+
   property("pageStats counting loops equal the split-based definitions") =
     forAll(anyText) { s =>
       val got = graft.analyzers.LangScript.pageStats(s)
