@@ -44,6 +44,40 @@ object StatefulDedup {
       }
   }
 
+  /** Bounded-state variant for unbounded streams: per-digest state
+    * expires once the event-time watermark passes lastSeen + ttl
+    * (GroupStateTimeout.EventTimeTimeout) — "first seen within the TTL
+    * horizon" semantics, the standard way to keep the state store from
+    * growing without bound on an endless crawl. A duplicate arriving
+    * after its digest's state expired is re-emitted as a new first-seen
+    * (documented and tested). */
+  def firstSeenBounded(docs: Dataset[DocIn], watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 24L * 3600 * 1000): Dataset[FirstSeen] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.withWatermark("warcTs", watermarkDelay)
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState[SeenState, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (digest, rows, state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq.sortBy(r => (r.warcTs.getTime, r.url))
+            val prev = if (state.exists) state.get.count else 0L
+            state.update(SeenState(prev + batch.size))
+            val maxTs = batch.map(_.warcTs.getTime).max
+            // timeout must sit above the current watermark
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            if (prev == 0L && batch.nonEmpty)
+              Iterator.single(FirstSeen(digest, batch.head.url, batch.size - 1L))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** File-source wiring: parquet corpus rows landing under `inputDir` →
     * sha-256 digest of the payload → stateful first-seen → parquet sink.
     * AvailableNow drains the backlog (tests / backfills); the same query

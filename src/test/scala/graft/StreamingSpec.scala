@@ -90,6 +90,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(r2.select("digest").distinct().count() == 60)
   }
 
+  test("bounded-state dedup: digest state expires past the event-time TTL") {
+    import graft.streaming.StatefulDedup
+    import graft.streaming.StatefulDedup.DocIn
+    val root = Files.createTempDirectory("graft_stream_ttl_").toString
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val mem = MemoryStream[DocIn]
+    val q = StatefulDedup.firstSeenBounded(mem.toDS(),
+        watermarkDelay = "0 seconds", ttlMs = 3600 * 1000L)
+      .writeStream.format("memory").queryName("ttl_dedup_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    def emitted(): Seq[(String, String)] =
+      spark.table("ttl_dedup_test").select("digest", "url")
+        .as[(String, String)].collect().toSeq.sorted
+
+    // b1: first sightings of A and B
+    mem.addData(DocIn("A", "u/a1", t("2026-01-01 00:00:00")),
+      DocIn("B", "u/b1", t("2026-01-01 00:00:00")))
+    q.processAllAvailable()
+    assert(emitted() == Seq(("A", "u/a1"), ("B", "u/b1")))
+
+    // b2 (watermark still T0): dup of A within TTL — suppressed
+    mem.addData(DocIn("A", "u/a2", t("2026-01-01 00:30:00")),
+      DocIn("C", "u/c1", t("2026-01-01 00:30:00")))
+    q.processAllAvailable()
+    assert(emitted() == Seq(("A", "u/a1"), ("B", "u/b1"), ("C", "u/c1")))
+
+    // b3 pushes the watermark to T0+3h; b4 lets the timeout fire for A
+    // (lastSeen T0+30m + 1h TTL < watermark)
+    mem.addData(DocIn("D", "u/d1", t("2026-01-01 03:00:00")))
+    q.processAllAvailable()
+    // E sits past the T0+3h watermark (a row AT the watermark is
+    // filtered as late by the stateful operator's pre-filter)
+    mem.addData(DocIn("E", "u/e1", t("2026-01-01 03:10:00")))
+    q.processAllAvailable()
+
+    // b5: dup of A AFTER state expiry — re-emitted as a new first-seen
+    mem.addData(DocIn("A", "u/a3", t("2026-01-01 03:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted() == Seq(("A", "u/a1"), ("A", "u/a3"), ("B", "u/b1"),
+      ("C", "u/c1"), ("D", "u/d1"), ("E", "u/e1")))
+  }
+
   test("watermarked daily roll-up over the results stream") {
     val root = Files.createTempDirectory("graft_stream_wm_").toString
     implicit val sqlCtx = spark.sqlContext
