@@ -79,13 +79,14 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments.asScala.toSeq
-      // warm 2 / measure 1: best-of-k measured passes is NOT used — the
-      // two legs would sample unequal amounts of VM weather (two 19 s
-      // c8 windows vs two 7 s c32 windows) and min-of flatters the side
-      // with more exposure, biasing the ratio down
+      // warm 1 / measure 1 — both legs measured at their pass-2 JIT
+      // plateau (pass1→2 improves, 2→3 is flat; symmetric treatment).
+      // best-of-k measured passes is NOT used: the two legs would sample
+      // unequal amounts of VM weather (19 s vs 7 s windows) and min-of
+      // flatters the side with more exposure, biasing the ratio down.
       val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"),
-          "graft.BenchLeg", cores.toString, corpusPath, "2", "1")
+          "graft.BenchLeg", cores.toString, corpusPath, "1", "1")
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true) // Spark logs merge in; we grep LEG
       val proc = pb.start()
@@ -109,39 +110,51 @@ object Bench {
     // box actually offered in the same window, not an ideal 4.0x.
     spark.stop()
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
-    val samples = (1 to rounds).map { _ =>
+
+    // Metrics over the rounds collected SO FAR — written to disk after
+    // every round so an externally-killed run still leaves a complete,
+    // parseable BENCH/bench.json + BASELINE.md for the rounds it got
+    // through (the final call also prints the bare stdout line).
+    def publish(samples: Seq[((Double, Long), (Double, Long), Double, Double)],
+        printLine: Boolean): Unit = {
+      val n = samples.length
+      val ((sec32, n32), (sec8, n8), efficiency, cpuCeiling) =
+        samples.sortBy(_._3).apply(n / 2)
+      // median of the per-round probe-normalized ratios (pairing
+      // matters: a lucky-eff round is usually also a lucky-probe round)
+      val normalized = samples.map(s => s._3 / s._4).sorted.apply(n / 2)
+      val thr32 = n32 / sec32
+      val thr8 = n8 / sec8
+      val mbps32 = corpusBytes / 1e6 / sec32
+      val mbps8 = corpusBytes / 1e6 / sec8
+      writeBaselineMd(nDocs, corpusBytes, sec8, thr8, mbps8, sec32, thr32,
+        mbps32, efficiency, cpuCeiling, normalized,
+        samples.map(_._3), samples.map(_._4))
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val line =
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""extraction_docs_per_sec_c32":${f"$thr32%.1f"},"extraction_mb_per_sec_c32":${f"$mbps32%.1f"},""" +
+        s""""extraction_docs_per_sec_c8":${f"$thr8%.1f"},"scaling_efficiency_8_to_32":${f"$efficiency%.3f"},""" +
+        s""""cpu_probe_efficiency_8_to_32":${f"$cpuCeiling%.3f"},"scaling_efficiency_vs_hw_ceiling":${f"$normalized%.3f"},""" +
+        s""""rounds_completed":$n}"""
+      // Machine-findable twice over (BENCH_r01 "parsed": null — the sbt
+      // logger prefix hid the line): bare stdout line AND a file.
+      Files.writeString(Paths.get("BENCH/bench.json"), line + "\n")
+      if (printLine) println(line)
+    }
+
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[((Double, Long), (Double, Long), Double, Double)]
+    (1 to rounds).foreach { _ =>
       val r32 = legRun(cpus)
       val r8 = legRun(8)
       val probe = cpuProbeEfficiency(cpus)
-      (r32, r8, (r8._1 / r32._1) / 4.0, probe) // eff = (thr32/thr8)/4
+      acc += ((r32, r8, (r8._1 / r32._1) / 4.0, probe)) // eff = (thr32/thr8)/4
+      publish(acc.toSeq, printLine = false)
     }
-    val ((sec32, n32), (sec8, n8), efficiency, cpuCeiling) =
-      samples.sortBy(_._3).apply(rounds / 2)
-    // median of the per-round probe-normalized ratios (pairing matters:
-    // a lucky-eff round is usually also a lucky-probe round)
-    val normalized = samples.map(s => s._3 / s._4).sorted.apply(rounds / 2)
-
-    val thr32 = n32 / sec32
-    val thr8 = n8 / sec8
-    val mbps32 = corpusBytes / 1e6 / sec32
-    val mbps8 = corpusBytes / 1e6 / sec8
-
-    writeBaselineMd(nDocs, corpusBytes, sec8, thr8, mbps8, sec32, thr32,
-      mbps32, efficiency, cpuCeiling, normalized,
-      samples.map(_._3), samples.map(_._4))
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""extraction_docs_per_sec_c32":${f"$thr32%.1f"},"extraction_mb_per_sec_c32":${f"$mbps32%.1f"},""" +
-      s""""extraction_docs_per_sec_c8":${f"$thr8%.1f"},"scaling_efficiency_8_to_32":${f"$efficiency%.3f"},""" +
-      s""""cpu_probe_efficiency_8_to_32":${f"$cpuCeiling%.3f"},"scaling_efficiency_vs_hw_ceiling":${f"$normalized%.3f"}}"""
-    // Machine-findable twice over (BENCH_r01 "parsed": null — the sbt
-    // logger prefix hid the line): the final bare stdout line AND a file.
-    Files.writeString(Paths.get("BENCH/bench.json"), line + "\n")
-    println(line)
+    publish(acc.toSeq, printLine = true)
   }
 
   /** 8-vs-N-thread throughput ratio of a pure LCG hash loop (plain Java
