@@ -79,14 +79,17 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments.asScala.toSeq
-      // warm 1 / measure 1 — both legs measured at their pass-2 JIT
-      // plateau (pass1→2 improves, 2→3 is flat; symmetric treatment).
-      // best-of-k measured passes is NOT used: the two legs would sample
-      // unequal amounts of VM weather (19 s vs 7 s windows) and min-of
-      // flatters the side with more exposure, biasing the ratio down.
+      // warm 2 / measure 1 — the 32-thread leg does NOT reach its JIT
+      // plateau until pass 3 (compilation competes with 32 mutator
+      // threads; measured: warm-1 config dropped c32 from ~110k to ~86k
+      // docs/s and the ratio from ~0.8 to ~0.63 at probe ≈ 1.0), so both
+      // legs warm twice and measure pass 3. best-of-k measured passes is
+      // NOT used: the legs would sample unequal amounts of VM weather
+      // (19 s vs 7 s windows) and min-of flatters the side with more
+      // exposure, biasing the ratio down.
       val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"),
-          "graft.BenchLeg", cores.toString, corpusPath, "1", "1")
+          "graft.BenchLeg", cores.toString, corpusPath, "2", "1")
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true) // Spark logs merge in; we grep LEG
       val proc = pb.start()
