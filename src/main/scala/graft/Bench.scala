@@ -118,21 +118,30 @@ object Bench {
     // every round so an externally-killed run still leaves a complete,
     // parseable BENCH/bench.json + BASELINE.md for the rounds it got
     // through (the final call also prints the bare stdout line).
-    def publish(samples: Seq[((Double, Long), (Double, Long), Double, Double)],
+    def publish(samples: Seq[((Double, Long), (Double, Long), Double, Double, Double)],
         printLine: Boolean): Unit = {
       val n = samples.length
-      val ((sec32, n32), (sec8, n8), efficiency, cpuCeiling) =
+      val ((sec32, n32), (sec8, n8), efficiency, cpuCeiling, memCeiling) =
         samples.sortBy(_._3).apply(n / 2)
-      // median of the per-round probe-normalized ratios (pairing
-      // matters: a lucky-eff round is usually also a lucky-probe round)
+      // conservative normalization: per-round eff / ALU probe (never
+      // credits bandwidth contention the workload didn't feel in full —
+      // extraction is a compute/bandwidth mix, so dividing by the
+      // tighter memory ceiling would overclaim)
       val normalized = samples.map(s => s._3 / s._4).sorted.apply(n / 2)
+      // …and the cleanest read: median efficiency over rounds where the
+      // box offered near-linear scaling on BOTH probes (≥ 0.9) — the
+      // dedicated-cluster stand-in. -1 when no such window occurred.
+      val cleanRounds = samples.filter(s => math.min(s._4, s._5) >= 0.9)
+      val cleanEff =
+        if (cleanRounds.isEmpty) -1.0
+        else cleanRounds.map(_._3).sorted.apply(cleanRounds.length / 2)
       val thr32 = n32 / sec32
       val thr8 = n8 / sec8
       val mbps32 = corpusBytes / 1e6 / sec32
       val mbps8 = corpusBytes / 1e6 / sec8
       writeBaselineMd(nDocs, corpusBytes, sec8, thr8, mbps8, sec32, thr32,
-        mbps32, efficiency, cpuCeiling, normalized,
-        samples.map(_._3), samples.map(_._4))
+        mbps32, efficiency, cpuCeiling, memCeiling, normalized, cleanEff,
+        samples.map(_._3), samples.map(_._4), samples.map(_._5))
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
@@ -140,7 +149,10 @@ object Bench {
         s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""extraction_docs_per_sec_c32":${f"$thr32%.1f"},"extraction_mb_per_sec_c32":${f"$mbps32%.1f"},""" +
         s""""extraction_docs_per_sec_c8":${f"$thr8%.1f"},"scaling_efficiency_8_to_32":${f"$efficiency%.3f"},""" +
-        s""""cpu_probe_efficiency_8_to_32":${f"$cpuCeiling%.3f"},"scaling_efficiency_vs_hw_ceiling":${f"$normalized%.3f"},""" +
+        s""""cpu_probe_efficiency_8_to_32":${f"$cpuCeiling%.3f"},""" +
+        s""""mem_probe_efficiency_8_to_32":${f"$memCeiling%.3f"},""" +
+        s""""scaling_efficiency_vs_hw_ceiling":${f"$normalized%.3f"},""" +
+        s""""scaling_efficiency_clean_window":${f"$cleanEff%.3f"},""" +
         s""""rounds_completed":$n}"""
       // Machine-findable twice over (BENCH_r01 "parsed": null — the sbt
       // logger prefix hid the line): bare stdout line AND a file.
@@ -149,15 +161,52 @@ object Bench {
     }
 
     val acc = scala.collection.mutable.ArrayBuffer
-      .empty[((Double, Long), (Double, Long), Double, Double)]
+      .empty[((Double, Long), (Double, Long), Double, Double, Double)]
     (1 to rounds).foreach { _ =>
       val r32 = legRun(cpus)
       val r8 = legRun(8)
       val probe = cpuProbeEfficiency(cpus)
-      acc += ((r32, r8, (r8._1 / r32._1) / 4.0, probe)) // eff = (thr32/thr8)/4
+      val mem = memProbeEfficiency(cpus)
+      acc += ((r32, r8, (r8._1 / r32._1) / 4.0, probe, mem)) // eff = (thr32/thr8)/4
       publish(acc.toSeq, printLine = false)
     }
     publish(acc.toSeq, printLine = true)
+  }
+
+  /** 8-vs-N-thread scaling of a streaming memory read (long-array sum
+    * over a buffer far beyond LLC) = the DRAM-bandwidth ceiling the box
+    * offers between the two parallelism levels. The extraction leg at 32
+    * threads is bandwidth-bound, so this probe, not the ALU one, tracks
+    * its weather: co-tenant bandwidth pressure moves the c32 leg between
+    * ~86k and ~117k docs/s while the ALU probe reads ~1.0 throughout. */
+  private def memProbeEfficiency(hi: Int): Double = {
+    val words = 64 * 1024 * 1024 // 512 MB — far beyond LLC
+    val buf = new Array[Long](words)
+    var i = 0
+    while (i < words) { buf(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    def gbps(threads: Int): Double = {
+      val per = words / threads
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        val th = new Thread(() => {
+          var s = 0L
+          var k = t * per
+          val end = k + per
+          while (k < end) { s += buf(k); k += 1 }
+          acc.addAndGet(s): Unit
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      if (acc.get() == 42L) println(acc.get()) // keep the loads live
+      words.toDouble * 8 / (System.nanoTime() - t0)
+    }
+    if (hi <= 8) return 1.0
+    gbps(8) // warm/fault the pages
+    val g8 = gbps(8)
+    val gHi = gbps(hi)
+    (gHi / g8) / (hi / 8.0)
   }
 
   /** 8-vs-N-thread throughput ratio of a pure LCG hash loop (plain Java
@@ -200,10 +249,11 @@ object Bench {
 
   private def writeBaselineMd(nDocs: Long, bytes: Long, sec8: Double,
       thr8: Double, mbps8: Double, sec32: Double, thr32: Double,
-      mbps32: Double, eff: Double, cpuCeiling: Double, normalized: Double,
-      allRoundEffs: Seq[Double], allRoundProbes: Seq[Double]): Unit = {
-    val rounds = allRoundEffs.zip(allRoundProbes)
-      .map { case (e, p) => f"$e%.3f (probe $p%.3f)" }.mkString(", ")
+      mbps32: Double, eff: Double, cpuCeiling: Double, memCeiling: Double,
+      normalized: Double, cleanEff: Double, allRoundEffs: Seq[Double],
+      allRoundProbes: Seq[Double], allRoundMemProbes: Seq[Double]): Unit = {
+    val rounds = allRoundEffs.lazyZip(allRoundProbes).lazyZip(allRoundMemProbes)
+      .map { (e, p, m) => f"$e%.3f (alu $p%.3f, mem $m%.3f)" }.mkString(", ")
     val md =
       s"""# BENCH/BASELINE — measured extraction throughput (graft.Bench)
          |
@@ -233,14 +283,19 @@ object Bench {
          |**Scaling efficiency (8 → 32 cores, 4x): ${f"$eff%.3f"}**
          |(per-round samples: $rounds)
          |
-         |**Hardware reference (pure-ALU probe, zero allocation, plain Java
-         |threads, measured in the SAME round as each sample): median-round
-         |probe ${f"$cpuCeiling%.3f"}** — the 8→32-thread parallel-compute ratio
-         |this virtualized box delivered in that window (1.0 = linear;
-         |hypervisor neighbors make it drift). Median per-round
-         |probe-normalized efficiency: **${f"$normalized%.3f"}** — the predictor
-         |for a dedicated cluster, where the ceiling is ~1.0. The raw ratio
-         |above is reported unadjusted against the ≥ 0.8 north-rule target.
+         |**Hardware ceilings, measured in the SAME round as each sample**:
+         |pure-ALU thread-scaling probe (median-round ${f"$cpuCeiling%.3f"}) and
+         |DRAM-bandwidth thread-scaling probe (streaming 512 MB sum,
+         |median-round ${f"$memCeiling%.3f"}). The 32-thread extraction leg is
+         |memory-bandwidth-bound, so co-tenant bandwidth pressure — which
+         |the ALU probe cannot see — moves the c32 leg between ~86k and
+         |~117k docs/s across runs of identical code; the bandwidth probe
+         |tracks it. Median per-round efficiency normalized (conservatively)
+         |to the ALU ceiling: **${f"$normalized%.3f"}**. Median efficiency over
+         |CLEAN rounds (both probes ≥ 0.9, the dedicated-cluster stand-in):
+         |**${if (cleanEff < 0) "n/a — no clean window in this run" else f"$cleanEff%.3f"}**.
+         |The raw ratio above is reported unadjusted against the ≥ 0.8
+         |north-rule target.
          |
          |Reference bar (BASELINE.md): deterministic direct extraction
          |0.5–2 s/page single-core Python → our per-core docs/sec at
