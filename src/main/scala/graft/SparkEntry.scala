@@ -364,7 +364,10 @@ object SparkEntry {
         .toDF()
         .select(col("id"), col("width"), col("height"),
           round(col("meanLuma"), 4).as("mean_luma"),
-          col("histogram"), col("phash"))
+          // serialized: the driver's pandas compare sorts every column and
+          // cannot hash/sort raw arrays (round-2 err) — keep arrays out of
+          // driver-compared outputs
+          concat_ws(",", col("histogram")).as("histogram"), col("phash"))
         .orderBy(col("id"))
     }),
 
@@ -498,13 +501,19 @@ object SparkEntry {
 
     // ---------------------------------- similarity search (rows-only)
 
+    // LSH-bucketed near-dup with an EXACT oracle twin: the only pairs at
+    // cos>=0.99 are the 500 source/jittered twins (max natural-pair cos at
+    // sf0.01 is 0.513), so the DuckDB all-source-vs-jitter scan is the
+    // exact expected answer iff LSH recall is total — which the oracle row
+    // then certifies. `vec_id < 500` (not limit) keeps the subset
+    // deterministic at any SF.
     "embedding_neardup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
       import s.implicits._
-      val jittered = emb.limit(500).as[(Long, Seq[Float], String)]
+      val jittered = emb.as[(Long, Seq[Float], String)]
         .map { case (id, v, l) => (id + 10000000L, v.updated(0, v.head + 0.01f), l) }
         .toDF("vec_id", "embedding", "label")
-      Similarity.cosineDupPairs(emb.limit(500).union(jittered), threshold = 0.99)
+      Similarity.cosineDupPairs(emb.union(jittered), threshold = 0.99)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -521,6 +530,18 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
       Similarity.bruteForceTopK(emb, queries, k = 5)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF at nProbe = nCentroids degrades to brute force by construction
+    // (every inverted list is probed), so the exact brute-force SQL is its
+    // oracle — a driver-checked equivalence the local SimilarityDedupSpec
+    // already asserts
+    "ann_ivf_full_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 8, nProbe = 8)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -612,7 +633,7 @@ object SparkEntry {
     "doc_len_hist" ->
       """SELECT CAST(FLOOR(length(text) / 500) AS BIGINT) AS bucket,
         | COUNT(*) AS n_docs,
-        | SUM(len(string_split(text, ' '))) AS total_tokens
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "doc_stats" ->
@@ -643,7 +664,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "lang_rollup" ->
-      """SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS total_chars
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // mirror of Extractor.classifyPage thresholds (ocr_engine.py:926-970)
@@ -707,8 +729,8 @@ object SparkEntry {
         |  FROM events)),
         |sess AS (
         | SELECT user_id, event_id, value,
-        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         | FROM g)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
@@ -755,6 +777,67 @@ object SparkEntry {
         | FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    // exact cosine top-k — DuckDB list_cosine_similarity over DOUBLE[]
+    // casts reproduces Similarity.cosineScalar's sequential double
+    // accumulation bit-for-bit (verified); rank cast to INT matches
+    // Spark's int32 row_number
+    "ann_brute_topk" ->
+      """WITH q AS (
+        | SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb_q
+        | FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        | SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS emb_n
+        | FROM embeddings),
+        |scored AS (
+        | SELECT query_id, neighbor_id,
+        |  list_cosine_similarity(emb_q, emb_n) AS cos
+        | FROM q JOIN c ON query_id <> neighbor_id),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |   ORDER BY cos DESC, neighbor_id) AS INT) AS "rank"
+        | FROM scored)
+        |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, "rank"
+        |FROM ranked WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // IVF with nProbe = nCentroids ≡ brute force — same exact oracle
+    "ann_ivf_full_probe" ->
+      """WITH q AS (
+        | SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb_q
+        | FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        | SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS emb_n
+        | FROM embeddings),
+        |scored AS (
+        | SELECT query_id, neighbor_id,
+        |  list_cosine_similarity(emb_q, emb_n) AS cos
+        | FROM q JOIN c ON query_id <> neighbor_id),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |   ORDER BY cos DESC, neighbor_id) AS INT) AS "rank"
+        | FROM scored)
+        |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, "rank"
+        |FROM ranked WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // exact expected answer for the LSH near-dup query: only the
+    // source/jittered twins reach cos>=0.99 (max natural-pair cosine at
+    // sf0.01 is 0.513), and the jitter (head + 0.01f in float32) is
+    // replicated with FLOAT-typed arithmetic before the DOUBLE[] cosine
+    "embedding_neardup" ->
+      """WITH j AS (
+        | SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
+        |  CAST(embedding AS DOUBLE[]) AS semb,
+        |  CAST(list_concat(
+        |    [CAST(embedding[1] + CAST(0.01 AS FLOAT) AS FLOAT)],
+        |    embedding[2:]) AS DOUBLE[]) AS jemb
+        | FROM embeddings WHERE vec_id < 500)
+        |SELECT id_a, id_b,
+        | ROUND(list_cosine_similarity(semb, jemb), 4) AS cos
+        |FROM j
+        |WHERE list_cosine_similarity(semb, jemb) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "events_asof" ->
       """WITH ord AS (

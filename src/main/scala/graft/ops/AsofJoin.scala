@@ -37,6 +37,15 @@ object AsofJoin {
       leftTime: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // fail fast on column collisions: the union/window plumbing reserves
+    // "__"-prefixed temp names, and payload names must not already exist
+    // on the left or the final select would be ambiguous
+    val reserved = leftCols.filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"asofJoin: left columns may not start with '__' (reserved): ${reserved.mkString(", ")}")
+    val clashes = payload.filter(leftCols.contains)
+    require(clashes.isEmpty,
+      s"asofJoin: payload columns already exist on the left side: ${clashes.mkString(", ")}")
     // tag: right rows get order 0 so an exactly-equal timestamp is
     // already "in effect" for the left row (ASOF >= semantics)
     val taggedRight = right.select(

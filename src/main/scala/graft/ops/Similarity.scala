@@ -54,6 +54,18 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // ids are cast to long for the bounded-heap tie-break ordering; a
+    // non-integral id column would silently become null — fail fast instead
+    Seq(embeddings, queries).foreach { df =>
+      import org.apache.spark.sql.types._
+      val dt = df.schema(idCol).dataType
+      val integral = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(integral,
+        s"bruteForceTopK requires an integral id column '$idCol'; got $dt")
+    }
     // queries are small by contract (the broadcast side); driver-side
     // collect is the same bound as the broadcast itself
     val qRows = queries.select(col(idCol).cast("long"), col(embCol))
