@@ -139,7 +139,7 @@ object Bench {
       val thr8 = n8 / sec8
       val mbps32 = corpusBytes / 1e6 / sec32
       val mbps8 = corpusBytes / 1e6 / sec8
-      writeBaselineMd(nDocs, corpusBytes, sec8, thr8, mbps8, sec32, thr32,
+      writeBaselineMd(nDocs, nFiles, corpusBytes, sec8, thr8, mbps8, sec32, thr32,
         mbps32, efficiency, cpuCeiling, memCeiling, normalized, cleanEff,
         samples.map(_._3), samples.map(_._4), samples.map(_._5))
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -162,7 +162,7 @@ object Bench {
 
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[((Double, Long), (Double, Long), Double, Double, Double)]
-    (1 to rounds).foreach { _ =>
+    def oneRound(): Unit = {
       val r32 = legRun(cpus)
       val r8 = legRun(8)
       val probe = cpuProbeEfficiency(cpus)
@@ -170,6 +170,15 @@ object Bench {
       acc += ((r32, r8, (r8._1 / r32._1) / 4.0, probe, mem)) // eff = (thr32/thr8)/4
       publish(acc.toSeq, printLine = false)
     }
+    (1 to rounds).foreach(_ => oneRound())
+    // extend (bounded) until at least one CLEAN round occurred — a round
+    // where both hardware probes read ≥ 0.9, i.e. the hypervisor actually
+    // offered near-linear scaling. Without this the round artifact can
+    // report clean_window = -1 purely on co-tenant weather (round 2 did).
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ROUNDS", "10").toInt
+    while (acc.length < maxRounds &&
+        !acc.exists(s => math.min(s._4, s._5) >= 0.9))
+      oneRound()
     publish(acc.toSeq, printLine = true)
   }
 
@@ -247,7 +256,7 @@ object Bench {
     else d.listFiles().filter(_.isFile).map(_.length()).sum
   }
 
-  private def writeBaselineMd(nDocs: Long, bytes: Long, sec8: Double,
+  private def writeBaselineMd(nDocs: Long, nFiles: Int, bytes: Long, sec8: Double,
       thr8: Double, mbps8: Double, sec32: Double, thr32: Double,
       mbps32: Double, eff: Double, cpuCeiling: Double, memCeiling: Double,
       normalized: Double, cleanEff: Double, allRoundEffs: Seq[Double],
@@ -258,7 +267,7 @@ object Bench {
       s"""# BENCH/BASELINE — measured extraction throughput (graft.Bench)
          |
          |Corpus: $nDocs synthesized docs (HTML+PDF mix, FIXTURES.md §1),
-         |${f"${bytes / 1e6}%.1f"} MB parquet, 384 files = 384 scan tasks (one
+         |${f"${bytes / 1e6}%.1f"} MB parquet, $nFiles files = $nFiles scan tasks (one
          |file per task; parquet row groups are the split floor). Pipeline:
          |scan → typed mapPartitions extract → contract projection
          |(url, status, extracted text, spans — serializer pruned to the

@@ -233,7 +233,8 @@ object Extractor {
 
   /** Assemble the full DocResult from per-page text + typed blocks.
     * Lines within a block = non-empty stripped '\n'-splits, 1-based per
-    * page (E1/E5); spans are char offsets into the page rawText. */
+    * page (E1/E5); spans are char offsets into fullText (each page's
+    * slice is [page.start, page.end), pages joined by PageBreak). */
   /** V1–V6 enhancement of a detected raw matrix → flat TableOut row. */
   private def toTableOut(matrix: Seq[Seq[String]], page: Int, idx: Int): TableOut = {
     val t = graft.tables.Tables.enhance(matrix, page, idx)
@@ -282,12 +283,18 @@ object Extractor {
       signatures: Seq[SignatureOut], tables: Seq[TableOut] = Nil,
       pageImages: Seq[Int] = Nil, analysis: Boolean = true): DocResult = {
 
-    val fullText = pageTexts.mkString(PageBreak)
+    // single-page fast path: mkString would copy the whole text through a
+    // StringBuilder for a 1-element join (most HTML docs)
+    val fullText =
+      if (pageTexts.length == 1) pageTexts.head else pageTexts.mkString(PageBreak)
     // one tokenize pass shared across the doc-level analyzers (language
     // ID has its own zero-alloc marker scanner and no longer needs it)
     val tokens = if (analysis) TextAnalyzer.tokenize(fullText) else null
 
+    var pageOffset = 0 // running start of the current page's fullText slice
     val pages = pageTexts.zipWithIndex.map { case (rawText, pi) =>
+      val pStart = pageOffset
+      pageOffset += rawText.length + PageBreak.length
       var lineNo = 0
       var cursor = 0
       val blocks = pageBlocks(pi).flatMap { case (blockType, blockText) =>
@@ -325,7 +332,7 @@ object Extractor {
               while (b > a && PyText.isPyWs(blockText.charAt(b - 1))) b -= 1
               if (b > a) {
                 lineNo += 1
-                lines += LineOut(lineNo, blockText.substring(a, b), start + a, start + b)
+                lines += LineOut(lineNo, pStart + start + a, pStart + start + b)
               }
               ls = le + 1
             }
@@ -337,12 +344,14 @@ object Extractor {
                 lineNo += 1
                 val ls = rawText.indexOf(stripped, lineCursor)
                 val lStart = if (ls >= 0) ls else lineCursor
-                lines += LineOut(lineNo, stripped, lStart, lStart + stripped.length)
+                lines += LineOut(lineNo, pStart + lStart,
+                  pStart + lStart + stripped.length)
                 lineCursor = lStart + stripped.length
               }
             }
           }
-          Some(BlockOut(blockType, blockText, start, end, DirectConfidence, lines.toSeq))
+          Some(BlockOut(blockType, pStart + start, pStart + end,
+            DirectConfidence, lines.toSeq))
         }
       }
       val stats = LangScript.pageStats(rawText)
@@ -350,7 +359,8 @@ object Extractor {
       val imgCount = if (pi < pageImages.length) pageImages(pi) else 0
       val (pType, pMethod, _, _, _) =
         classifyPage(PyText.strippedLength(rawText), imgCount)
-      PageOut(pi + 1, rawText, stats.charCount, stats.wordCount,
+      PageOut(pi + 1, pStart, pStart + rawText.length,
+        stats.charCount, stats.wordCount,
         stats.lineCount, stats.paragraphCount, lr.script, lr.detected,
         DirectConfidence, blocks, pType, pMethod, imgCount)
     }

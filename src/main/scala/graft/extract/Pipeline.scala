@@ -208,8 +208,10 @@ object Pipeline {
           .as("digital_signatures"),
         array().cast("array<string>").as("handwritten_signatures")
       ).as("signatures"),
+      // page text = lazy slice of fullText (the tree stores spans only)
       expr("transform(pages, p -> struct(" +
-        "p.pageNumber as page_number, p.rawText as text, " +
+        "p.pageNumber as page_number, " +
+        "substring(fullText, p.start + 1, p.end - p.start) as text, " +
         "p.charCount as char_count, p.wordCount as word_count, " +
         "p.language as language, p.confidence as confidence))").as("pages"),
       col("avgConfidence").as("overall_confidence"),
@@ -221,7 +223,8 @@ object Pipeline {
         expr("size(filter(flatten(transform(pages, p -> p.blocks)), b -> b.confidence < 0.40))").as("uncertain")
       ).as("confidence_distribution"),
       expr("transform(filter(flatten(transform(pages, p -> p.blocks)), " +
-        "b -> b.confidence < 0.6), b -> substring(b.text, 1, 100))")
+        "b -> b.confidence < 0.6), " +
+        "b -> substring(fullText, b.start + 1, least(100, b.end - b.start)))")
         .as("low_confidence_segments"),
       col("fullText").as("full_text")
     )).as("json"))
@@ -272,9 +275,13 @@ object Pipeline {
     * block confidences and the first 100 chars of any block under 0.6 —
     * conditional-sum aggregation, partial+final. */
   def confidenceView(results: Dataset[DocResult]): DataFrame = {
+    // the 100-char snippet is sliced from fullText BEFORE the explode so
+    // the exploded rows never carry the document text
     val blocks = results.select(col("url"),
       expr("flatten(transform(pages, p -> transform(p.blocks, b -> " +
-        "struct(b.confidence as conf, b.text as text))))").as("bs"))
+        "struct(b.confidence as conf, " +
+        "substring(fullText, b.start + 1, least(100, b.end - b.start)) as text))))")
+        .as("bs"))
       .select(col("url"), explode(col("bs")).as("b"))
     blocks.groupBy(col("url")).agg(
       sum(when(col("b.conf") >= 0.95, 1L).otherwise(0L)).as("certain"),
@@ -285,13 +292,14 @@ object Pipeline {
       avg(col("b.conf")).as("avg_confidence"),
       min(col("b.conf")).as("min_confidence"),
       max(col("b.conf")).as("max_confidence"),
-      collect_list(when(col("b.conf") < 0.6, substring(col("b.text"), 1, 100)))
+      collect_list(when(col("b.conf") < 0.6, col("b.text")))
         .as("low_confidence_segments"))
   }
 
   /** Projection of the per-url byte-identity contract (url, extracted
     * text, spans) — the minimal output table; column pruning reaches the
-    * scan because DocResult is nested-struct typed. */
+    * scan because DocResult is nested-struct typed. Span offsets index
+    * into `text` (= fullText): block text is `text.substring(start, end)`. */
   def contractView(results: Dataset[DocResult]): DataFrame = {
     results.select(
       col("url"), col("status"), col("fullText").as("text"),

@@ -8,24 +8,31 @@ import java.sql.Timestamp
   * `models/ocr_engine.py:1544-1596,1783-1949`): nested
   * ArrayType(StructType) columns via case-class Encoders so Catalyst can
   * prune at every level (SURVEY.md §1.1, §1.3). Character spans
-  * (start/end into the page raw_text) are the north-rule addition. */
+  * (start/end into fullText) are the north-rule addition.
+  *
+  * Every text byte is stored EXACTLY ONCE, in `fullText`; pages, blocks
+  * and lines carry only [start, end) spans into it, so page/block/line
+  * text is `fullText.substring(start, end)` (the views slice lazily).
+  * Round 2 stored the text ~4× (page rawText + block text + line text on
+  * top of fullText), which made the 32-thread extraction leg
+  * DRAM-bandwidth-bound — at cluster scale the same duplication is 4×
+  * the shuffle/serializer volume. */
 final case class LineOut(
     lineNumber: Int,   // 1-based, per reference E1 (ocr_engine.py:1064-1078)
-    text: String,
-    start: Int,        // char offset into page rawText (span)
+    start: Int,        // char offset into fullText (span)
     end: Int)
 
 final case class BlockOut(
     blockType: String, // paragraph | heading | list_item | table_cell
-    text: String,
-    start: Int,
+    start: Int,        // char offset into fullText (span)
     end: Int,
     confidence: Double,
     lines: Seq[LineOut])
 
 final case class PageOut(
     pageNumber: Int,   // 1-based
-    rawText: String,
+    start: Int,        // page slice of fullText: [start, end) — pages join
+    end: Int,          // with PageBreak, so slices reconstruct fullText
     charCount: Int,
     wordCount: Int,
     lineCount: Int,

@@ -32,17 +32,39 @@ class ByteIdentitySpec extends AnyFunSuite {
     assert(checked >= 280, s"checked=$checked skipped=$skipped")
   }
 
-  test("spans index into the page rawText exactly") {
+  test("spans index into fullText exactly (pages/blocks/lines store no text)") {
     (0L until 100L).foreach { i =>
       val row = CorpusGen.row(i)
       val result = Extractor.extract(row.url, row.warc_ts, row.html, row.lang)
+      val ft = result.fullText
+      // page slices joined with the page break reconstruct fullText
+      // byte-for-byte — the defining invariant of the span-only tree
+      if (result.pages.nonEmpty) {
+        val rebuilt = result.pages
+          .map(p => ft.substring(p.start, p.end))
+          .mkString(Extractor.PageBreak)
+        assert(rebuilt == ft, s"page-slice reconstruction mismatch url=${row.url}")
+      }
       result.pages.foreach { p =>
+        var prevBlockEnd = p.start
         p.blocks.foreach { b =>
-          assert(p.rawText.substring(b.start, b.end) == b.text,
-            s"block span mismatch url=${row.url}")
+          assert(b.start >= prevBlockEnd && b.end <= p.end && b.start <= b.end,
+            s"block span out of order/bounds url=${row.url}")
+          // the gap between consecutive blocks is pure whitespace (blocks
+          // compose the page text joined by "\n")
+          assert(ft.substring(prevBlockEnd, b.start).forall(_.isWhitespace),
+            s"non-whitespace between blocks url=${row.url}")
+          prevBlockEnd = b.end
+          var prevLineEnd = b.start
           b.lines.foreach { l =>
-            assert(p.rawText.substring(l.start, l.end) == l.text,
-              s"line span mismatch url=${row.url}")
+            assert(l.start >= prevLineEnd && l.end <= b.end && l.start < l.end,
+              s"line span out of order/bounds url=${row.url}")
+            val lt = ft.substring(l.start, l.end)
+            // lines are stripped: no leading/trailing Python whitespace
+            assert(!graft.analyzers.PyText.isPyWs(lt.head) &&
+                   !graft.analyzers.PyText.isPyWs(lt.last),
+              s"line not stripped url=${row.url}")
+            prevLineEnd = l.end
           }
         }
       }
