@@ -62,8 +62,21 @@ object Plans {
       ("MinHash-LSH candidate generation",
         """Must hold: the join key is (band, bandHash); shuffled rows carry
           |id + signature only — the document text column appears in no
-          |Exchange below the join.""".stripMargin,
+          |Exchange below the join. The mega-bucket guard is a partial-agg
+          |groupBy count of oversized keys + BroadcastHashJoin LeftAnti —
+          |NO Window/Sort of the banded rows (round-2 shape sorted every
+          |partition by (band, bandHash) just to count bucket sizes). The
+          |cross-band pair dedup runs AFTER scoring, so its Exchange moves
+          |(id, id, double) rows — not signature arrays — and aggregates
+          |as partial+final HashAggregate, not SortAggregate.""".stripMargin,
         ops.Dedup.minhashDupPairs(
+          spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")),
+
+      ("SimHash candidate generation (guarded chunk buckets)",
+        """Must hold: same guard shape as MinHash — oversized (chunk,
+          |chunkVal) buckets leave via a broadcast anti-join before the
+          |candidate self-join; bit_count verification stays in codegen.""".stripMargin,
+        ops.Dedup.simhashDupPairs(
           spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")),
 
       ("Entities view (stage-2 explode)",

@@ -145,16 +145,24 @@ object SparkEntry {
 
     // R1/R2 page-classification thresholds + single-page structure
     // roll-up, exercised through Extractor.classifyPage on a synthetic
-    // per-doc "page" (substr slice gives all three reachable classes)
+    // per-doc "page" (substr slice + synthetic image count/coverage give
+    // ALL FIVE page classes, incl. the coverage-driven mixed_content and
+    // scanned_image branches)
     "doc_structure" -> ((s, dir) => {
-      val classify = udf { (t: String) =>
+      val classify = udf { (t: String, imgs: Int, cov: Double) =>
         val stripped = graft.analyzers.PyText.strip(if (t == null) "" else t)
-        val (pt, method, _, _, _) = graft.extract.Extractor.classifyPage(stripped.length, 0)
-        (pt, if (method == "ocr") "pure_scanned" else "pure_digital")
+        val (pt, _, _, isOcr, isMixed) =
+          graft.extract.Extractor.classifyPage(stripped.length, imgs, cov)
+        (pt,
+          if (isMixed) "mixed"
+          else if (isOcr) "pure_scanned"
+          else "pure_digital")
       }
       t(s, dir, "documents")
         .withColumn("page_text", expr("substring(text, 1, cast(doc_id % 120 as int))"))
-        .withColumn("c", classify(col("page_text")))
+        .withColumn("imgs", (col("doc_id") % 3).cast("int"))
+        .withColumn("cov", (col("doc_id") % 10).cast("double") / 10.0)
+        .withColumn("c", classify(col("page_text"), col("imgs"), col("cov")))
         .select(col("doc_id"), col("c._1").as("page_type"),
           col("c._2").as("doc_structure"))
         .orderBy(col("doc_id"))
@@ -668,21 +676,31 @@ object SparkEntry {
         | CAST(SUM(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
-    // mirror of Extractor.classifyPage thresholds (ocr_engine.py:926-970)
-    // + the single-page R2 roll-up; ws set = Python str.strip ASCII chars
+    // mirror of the FULL Extractor.classifyPage decision chain
+    // (ocr_engine.py:926-970) incl. the coverage branches, + the
+    // single-page R2 roll-up; ws set = Python str.strip ASCII chars
     "doc_structure" ->
       """WITH p AS (
         | SELECT doc_id,
         |  length(trim(substr(text, 1, CAST(doc_id % 120 AS INT)),
-        |    ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) AS sc
-        | FROM documents)
-        |SELECT doc_id,
-        | CASE WHEN sc < 10 THEN 'empty'
-        |  WHEN sc >= 50 THEN 'digital_text'
-        |  ELSE 'scanned_image' END AS page_type,
-        | CASE WHEN sc >= 10 AND sc < 50 THEN 'pure_scanned'
+        |    ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) AS sc,
+        |  CAST(doc_id % 3 AS INT) AS imgs,
+        |  CAST(doc_id % 10 AS DOUBLE) / 10.0 AS cov
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id,
+        |  CASE WHEN sc < 10 AND imgs = 0 THEN 'empty'
+        |   WHEN sc >= 50 AND cov <= 0.3 THEN 'digital_text'
+        |   WHEN sc < 50 AND cov > 0.7 THEN 'scanned_image'
+        |   WHEN sc >= 50 AND cov > 0.3 THEN 'mixed_content'
+        |   WHEN sc < 50 AND imgs > 0 THEN 'image_with_text'
+        |   ELSE 'scanned_image' END AS page_type
+        | FROM p)
+        |SELECT doc_id, page_type,
+        | CASE WHEN page_type = 'mixed_content' THEN 'mixed'
+        |  WHEN page_type IN ('scanned_image', 'image_with_text') THEN 'pure_scanned'
         |  ELSE 'pure_digital' END AS doc_structure
-        |FROM p ORDER BY doc_id""".stripMargin,
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // mirror of Extractor.complexityScore (smart_router.py:218-242)
     "complexity_sql" ->

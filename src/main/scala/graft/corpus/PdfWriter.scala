@@ -38,18 +38,20 @@ object PdfWriter {
     * `re` rects + one text run per non-empty cell. Cell (r, c) baseline
     * sits inside row band r, column band c, so PdfTables.detect
     * reconstructs the matrix exactly. */
-  private def tableOps(matrix: Seq[Seq[String]]): String = {
+  private def tableOps(matrix: Seq[Seq[String]], ruled: Boolean = true): String = {
     val nRows = matrix.length
     val nCols = if (matrix.isEmpty) 0 else matrix.map(_.length).max
     val sb = new StringBuilder
-    // horizontal rules (nRows+1) and vertical rules (nCols+1)
-    (0 to nRows).foreach { i =>
-      val y = TableTop - i * RowH
-      sb.append(s"${fmt(TableLeft)} ${fmt(y - 0.5)} ${fmt(nCols * ColW)} 1 re f\n")
-    }
-    (0 to nCols).foreach { j =>
-      val x = TableLeft + j * ColW
-      sb.append(s"${fmt(x - 0.5)} ${fmt(TableTop - nRows * RowH)} 1 ${fmt(nRows * RowH)} re f\n")
+    if (ruled) {
+      // horizontal rules (nRows+1) and vertical rules (nCols+1)
+      (0 to nRows).foreach { i =>
+        val y = TableTop - i * RowH
+        sb.append(s"${fmt(TableLeft)} ${fmt(y - 0.5)} ${fmt(nCols * ColW)} 1 re f\n")
+      }
+      (0 to nCols).foreach { j =>
+        val x = TableLeft + j * ColW
+        sb.append(s"${fmt(x - 0.5)} ${fmt(TableTop - nRows * RowH)} 1 ${fmt(nRows * RowH)} re f\n")
+      }
     }
     sb.append("BT\n/F1 10 Tf\n")
     matrix.zipWithIndex.foreach { case (row, r) =>
@@ -73,10 +75,23 @@ object PdfWriter {
     * reading order (and thus extracted text) is the given line order.
     * `table` draws a ruled grid + cell text on page 1 (below the lines,
     * so it extracts after them). */
+  /** `imagePlacements`: page index → (x, y, w, h) rects; each emits a
+    * `q w 0 0 h x y cm /Im1 Do Q` placement of the shared image XObject,
+    * so PdfParser's CTM tracking sees real image coverage (R1 fixtures).
+    * Pages listed only in `imagePages` declare the XObject without
+    * placing it (coverage 0, count 1 — the legacy fixture shape). */
   def build(pages: Seq[Seq[String]], flate: Boolean = false,
       withSignature: Boolean = false,
       table: Option[Seq[Seq[String]]] = None,
-      imagePages: Set[Int] = Set.empty): Array[Byte] = {
+      // like `table` but with no grid rules drawn — the
+      // whitespace-aligned (unruled) detection fixture
+      unruledTable: Option[Seq[Seq[String]]] = None,
+      imagePages: Set[Int] = Set.empty,
+      imagePlacements: Map[Int, Seq[(Double, Double, Double, Double)]] = Map.empty,
+      // page → (x, y, w, h) filled rects drawn OUTSIDE any table — the
+      // vector-drawing fixtures for the E7 signature-drawings check
+      drawnRects: Map[Int, Seq[(Double, Double, Double, Double)]] = Map.empty)
+      : Array[Byte] = {
     val nPages = pages.length
     // object numbering: 1 catalog, 2 pages, 3 font, then per page: page
     // obj, content obj; then optional sig field, optional shared image
@@ -94,18 +109,27 @@ object PdfWriter {
 
     pages.zipWithIndex.foreach { case (lines, i) =>
       val xobj =
-        if (imagePages.contains(i)) s" /XObject << /Im1 $imgObjNum 0 R >>" else ""
+        if (imagePages.contains(i) || imagePlacements.contains(i))
+          s" /XObject << /Im1 $imgObjNum 0 R >>" else ""
       objs(pageObjNums(i)) =
         (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
          s"/Resources << /Font << /F1 3 0 R >>$xobj >> /Contents ${contentObjNums(i)} 0 R >>")
           .getBytes(StandardCharsets.US_ASCII)
-      val content = new StringBuilder("BT\n/F1 12 Tf\n")
+      val content = new StringBuilder
+      imagePlacements.getOrElse(i, Nil).foreach { case (x, y, w, h) =>
+        content.append(s"q ${fmt(w)} 0 0 ${fmt(h)} ${fmt(x)} ${fmt(y)} cm /Im1 Do Q\n")
+      }
+      drawnRects.getOrElse(i, Nil).foreach { case (x, y, w, h) =>
+        content.append(s"${fmt(x)} ${fmt(y)} ${fmt(w)} ${fmt(h)} re f\n")
+      }
+      content.append("BT\n/F1 12 Tf\n")
       lines.zipWithIndex.foreach { case (line, j) =>
         val y = 720 - 14 * j
         content.append(s"1 0 0 1 72 $y Tm\n(${esc(line)}) Tj\n")
       }
       content.append("ET\n")
       if (i == 0) table.foreach(m => content.append(tableOps(m)))
+      if (i == 0) unruledTable.foreach(m => content.append(tableOps(m, ruled = false)))
       val raw = content.toString.getBytes(StandardCharsets.ISO_8859_1)
       val (data, filter) = if (flate) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
       val head = s"<< /Length ${data.length}$filter >>\nstream\n".getBytes(StandardCharsets.US_ASCII)
@@ -119,7 +143,7 @@ object PdfWriter {
           .getBytes(StandardCharsets.US_ASCII)
     }
 
-    if (imagePages.nonEmpty) {
+    if (imagePages.nonEmpty || imagePlacements.nonEmpty) {
       // 8x8 DeviceGray image XObject (scanned-page fixtures for R1):
       // deterministic ramp pixels, uncompressed
       val px = Array.tabulate[Byte](64)(k => (k * 4).toByte)

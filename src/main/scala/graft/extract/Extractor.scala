@@ -154,6 +154,32 @@ object Extractor {
     false
   }
 
+  /** E7 drawings-intersection check for PDFs (`ocr_engine.py:700-735`):
+    * a signature text pattern counts as handwritten only when vector
+    * drawings intersect the band below the pattern's text run —
+    * x ∈ [x0 − 20, x1 + 150], 60 pt below the baseline (PDF y-up; the
+    * reference expands rect.y1 down 60 pt). Drawings in our documented
+    * subset are the content stream's `re` rects (the same primitives the
+    * E9 table detector consumes); run width is approximated at 6 pt/char
+    * since the parser does not track glyph metrics. This is the
+    * difference between "mentions signature" and "has a signature
+    * region": a label with nothing drawn under it no longer flags. */
+  private[extract] def pdfHandwrittenSignature(doc: graft.pdf.PdfParser.PdfDoc): Boolean = {
+    doc.pages.exists { p =>
+      p.rects.nonEmpty && p.runs.exists { r =>
+        containsAnySigPattern(r.text) && {
+          val x0 = r.x - 20
+          val x1 = r.x + 6.0 * r.text.length + 150
+          val yTop = r.y
+          val yBot = r.y - 60
+          p.rects.exists(rc =>
+            rc.x <= x1 && rc.x + rc.w >= x0 &&
+            rc.y <= yTop && rc.y + rc.h >= yBot)
+        }
+      }
+    }
+  }
+
   /** @param analysis run the doc-level analyzer suite (T4-T12: word
     *   cloud, summary, doc type, keywords, entities). The extraction
     *   contract (text, spans, pages, language, structure) is unaffected;
@@ -161,8 +187,13 @@ object Extractor {
     *   compute analog of column pruning (the reference also runs
     *   doc_analyzer only when building the enhanced output,
     *   `ocr_engine.py:1826-1833`). */
+  /** @param unruledTables also run the heuristic whitespace-aligned
+    *   table detector on PDF pages (`PdfTables.detectUnruled`) —
+    *   off by default (the text strategy can false-positive on
+    *   coincidentally aligned prose, so callers opt in). */
   def extract(url: String, warcTs: Timestamp, payload: Array[Byte],
-      langHint: String, analysis: Boolean = true): DocResult = {
+      langHint: String, analysis: Boolean = true,
+      unruledTables: Boolean = false): DocResult = {
     val bytes = if (payload == null) Array.emptyByteArray else payload
     val format = sniffFormat(bytes)
     val hash = sha256Hex(bytes)
@@ -178,9 +209,12 @@ object Extractor {
             errorResult(url, warcTs, langHint, format, hash, bytes.length, doc.error)
           else {
             // E9: ruled tables from content-stream grid geometry
-            val tables = doc.pages.flatMap(PdfTables.detect(_)).zipWithIndex.map {
-              case (t, idx) => toTableOut(t.matrix.map(_.toSeq), t.page, idx)
-            }
+            // (+ whitespace-aligned tables when the caller opted in)
+            val tables = doc.pages
+              .flatMap(PdfTables.detectAll(_, includeUnruled = unruledTables))
+              .zipWithIndex.map {
+                case (t, idx) => toTableOut(t.matrix.map(_.toSeq), t.page, idx)
+              }
             assemble(url, warcTs, langHint, format, hash, bytes.length,
               title = "",
               pageTexts = doc.pages.map(_.text),
@@ -188,6 +222,8 @@ object Extractor {
               signatures = doc.signatures.map(s => SignatureOut(s.fieldName, s.signed)),
               tables = tables,
               pageImages = doc.pages.map(_.imageCount),
+              pageCoverage = doc.pages.map(_.imageCoverage),
+              handwrittenOverride = Some(pdfHandwrittenSignature(doc)),
               analysis = analysis)
           }
         case _ =>
@@ -242,20 +278,30 @@ object Extractor {
       t.data, t.isFinancial, t.hasTotalRow, t.toHtml, t.toMarkdown, t.toCsv)
   }
 
-  /** R1 per-page classification (`ocr_engine.py:926-970` decision chain,
-    * thresholds MIN_CHARS_PER_PAGE = 50 at `:571`, <10 chars & 0 images
-    * empty at `:926`). Image coverage is 0.0 in this engine (rect/CTM
-    * tracking out of scope) so the >0.3 / >0.7 coverage branches never
-    * fire; reachable classes: empty, digital_text, image_with_text (no
-    * text layer but images present), scanned_image (the default-else).
-    * Returns (pageType, extractionMethod, isDigital, isOcr, isMixed). */
-  def classifyPage(strippedChars: Int, imageCount: Int)
+  /** R1 per-page classification — the FULL `ocr_engine.py:926-970`
+    * decision chain (thresholds MIN_CHARS_PER_PAGE = 50 at `:571`,
+    * <10 chars & 0 images empty at `:926`), including the coverage
+    * branches: significant images at coverage > 0.3, scanned page at
+    * coverage > 0.7 with no text layer, mixed_content when a text layer
+    * coexists with significant images. Coverage comes from the PDF
+    * parser's CTM tracking of /Image `Do` placements over the MediaBox
+    * area (`ocr_engine.py:911-925`).
+    * Returns (pageType, extractionMethod, isDigital, isOcr, isMixed);
+    * mixed pages count as BOTH digital and mixed, as in the reference's
+    * roll-up (`:993-1023`). */
+  def classifyPage(strippedChars: Int, imageCount: Int,
+      imageCoverage: Double = 0.0)
       : (String, String, Boolean, Boolean, Boolean) = {
     val hasTextLayer = strippedChars >= 50
+    val hasSignificantImages = imageCoverage > 0.3
     if (strippedChars < 10 && imageCount == 0)
       ("empty", "skip", false, false, false)
-    else if (hasTextLayer) // coverage 0.0 → never "significant images"
+    else if (hasTextLayer && !hasSignificantImages)
       ("digital_text", "direct", true, false, false)
+    else if (!hasTextLayer && imageCoverage > 0.7)
+      ("scanned_image", "ocr", false, true, false)
+    else if (hasTextLayer && hasSignificantImages)
+      ("mixed_content", "hybrid", true, true, true)
     else if (imageCount > 0)
       ("image_with_text", "ocr", false, true, false)
     else
@@ -281,7 +327,12 @@ object Extractor {
       format: String, hash: String, size: Long, title: String,
       pageTexts: Seq[String], pageBlocks: Seq[Seq[(String, String)]],
       signatures: Seq[SignatureOut], tables: Seq[TableOut] = Nil,
-      pageImages: Seq[Int] = Nil, analysis: Boolean = true): DocResult = {
+      pageImages: Seq[Int] = Nil, pageCoverage: Seq[Double] = Nil,
+      // Some(x) = the caller already ran a geometry-aware handwriting
+      // check (E7 drawings test, PDF path); None = fall back to the
+      // text-pattern scan (HTML — no vector geometry exists there)
+      handwrittenOverride: Option[Boolean] = None,
+      analysis: Boolean = true): DocResult = {
 
     // single-page fast path: mkString would copy the whole text through a
     // StringBuilder for a 1-element join (most HTML docs)
@@ -357,8 +408,9 @@ object Extractor {
       val stats = LangScript.pageStats(rawText)
       val lr = LangScript.detectLanguage(rawText)
       val imgCount = if (pi < pageImages.length) pageImages(pi) else 0
+      val coverage = if (pi < pageCoverage.length) pageCoverage(pi) else 0.0
       val (pType, pMethod, _, _, _) =
-        classifyPage(PyText.strippedLength(rawText), imgCount)
+        classifyPage(PyText.strippedLength(rawText), imgCount, coverage)
       PageOut(pi + 1, pStart, pStart + rawText.length,
         stats.charCount, stats.wordCount,
         stats.lineCount, stats.paragraphCount, lr.script, lr.detected,
@@ -367,8 +419,8 @@ object Extractor {
 
     // R2 roll-up (`ocr_engine.py:993-1023`): the reference counts mixed
     // pages in BOTH digital_pages and mixed_pages; ocr_pages collects
-    // scanned + image_with_text. mixed_content is unreachable at
-    // coverage 0.0 but the formula keeps the reference shape.
+    // scanned + image_with_text (NOT mixed — hybrid pages get the
+    // 12 s/page term instead).
     val digitalCount = pages.count(p =>
       p.pageType == "digital_text" || p.pageType == "mixed_content")
     val ocrCount = pages.count(p =>
@@ -395,7 +447,7 @@ object Extractor {
           dt, cats,
           TextAnalyzer.keywordsFromTokens(tokens),
           TextAnalyzer.entities(fullText),
-          sigPatterns.exists(lower.contains))             // E7
+          handwrittenOverride.getOrElse(sigPatterns.exists(lower.contains))) // E7
       } else {
         // E7 handwriting scan stays on (signatureStatus is contract
         // metadata, not an analyzer) — containsIgnoreCaseAscii avoids
@@ -403,7 +455,7 @@ object Extractor {
         (TextAnalyzer.WordCloud(Nil, 0.0, 0L, 0L),
           TextAnalyzer.Summary("", "", Nil, 0.0),
           "other", Nil, Nil, Nil,
-          containsAnySigPattern(fullText))
+          handwrittenOverride.getOrElse(containsAnySigPattern(fullText)))
       }
     val digital = signatures.nonEmpty
     val sigStatus =

@@ -28,11 +28,14 @@ object Pipeline {
   /** @param analysis run the T4-T12 doc-analyzer suite inside the map
     *   stage. Pass false when downstream only consumes the extraction
     *   contract (text/spans/pages/language/structure) — compute pruning
-    *   to match Catalyst's column pruning. */
+    *   to match Catalyst's column pruning.
+    * @param unruledTables opt into the heuristic whitespace-aligned PDF
+    *   table detector on top of the ruled-grid one (Extractor/E9). */
   def run(input: DataFrame,
       oversizeBudgetBytes: Long = DefaultOversizeBudget,
       rebalancePartitions: Int = 0,
-      analysis: Boolean = true): Dataset[DocResult] = {
+      analysis: Boolean = true,
+      unruledTables: Boolean = false): Dataset[DocResult] = {
     val spark = input.sparkSession
     import spark.implicits._
     val pruned = input.select(col("url"), col("warc_ts"), col("html"), col("lang"))
@@ -48,7 +51,8 @@ object Pipeline {
             "", 0, "", Nil, Nil, "unsigned", "other", Nil, Nil, Nil, Nil,
             "", "", Nil, "unknown", "unknown", 0L, 0L, 0.0, "uncertain",
             "poor", "ocr", "2.1")
-        else Extractor.extract(r.url, r.warc_ts, r.html, r.lang, analysis)
+        else Extractor.extract(r.url, r.warc_ts, r.html, r.lang, analysis,
+          unruledTables)
       }
     }
   }

@@ -132,22 +132,32 @@ object Dedup {
           s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
 
-    // LSH guard: drop degenerate mega-buckets
-    val bucketed = banded
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("band"), col("bandHash"))))
-      .filter(col("bsize") <= maxBucketSize)
+    // LSH guard: drop degenerate mega-buckets (boilerplate shingles).
+    // groupBy-count keeps only the OVERSIZED keys (tiny after the
+    // map-side combine) and broadcast-anti-joins them back — the banded
+    // rows reach the self-join without the Window form's full
+    // shuffle-and-SORT by (band, bandHash).
+    val bucketed = dropOversizedBuckets(banded,
+      Seq("band", "bandHash"), maxBucketSize)
 
     val a = bucketed.select(col("band"), col("bandHash"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = bucketed.select(col("band"), col("bandHash"), col("id").as("id_b"), col("sig").as("sig_b"))
     val pairs = a.join(b, Seq("band", "bandHash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
 
+    // score BEFORE deduplicating across bands: a pair sharing k bands
+    // recomputes the O(numHashes) jaccard k times (bounded by `bands`),
+    // but the dedup shuffle then carries (id, id, double) rows instead of
+    // both 64-long signatures (~40x smaller), and grouping array-free
+    // rows is a partial+final HashAggregate — the signature-carrying form
+    // forced a SortAggregate over every candidate pair. Sub-threshold
+    // pairs are dropped before the shuffle too.
     pairs.as[(Long, Long, Seq[Long], Seq[Long])]
       .map { case (ia, ib, sa, sb) => (ia, ib, signatureJaccard(sa.toArray, sb.toArray)) }
       .toDF("id_a", "id_b", "est_jaccard")
       .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** MinHash-LSH candidates verified by EXACT n-gram Jaccard (not the
@@ -235,6 +245,23 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** The LSH mega-bucket guard, shared by the MinHash and SimHash
+    * pipelines: rows whose bucket key holds more than `maxBucketSize`
+    * members are dropped before the candidate self-join (a bucket of m
+    * rows contributes m² pairs — one degenerate key, e.g. an all-same
+    * boilerplate chunk, otherwise dominates the whole job at corpus
+    * scale). The oversized-key list is produced by a partial-aggregated
+    * groupBy count (tiny: one row per oversized key) and removed with a
+    * broadcast anti-join — no sort, no window. */
+  private def dropOversizedBuckets(rows: DataFrame, keys: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    val oversized = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsize"))
+      .filter(col("__bsize") > maxBucketSize)
+      .select(keys.map(col): _*)
+    rows.join(broadcast(oversized), keys, "left_anti")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (weight 1 each). */
@@ -262,9 +289,15 @@ object Dedup {
 
   /** SimHash near-dup pairs: bucket by 4 x 16-bit chunks (any identical
     * chunk => candidate, guaranteed for hamming distance <= 3), verify
-    * by full hamming distance. */
+    * by full hamming distance. Chunk buckets get the same
+    * `maxBucketSize` guard as the MinHash bands: only 65,536 values
+    * exist per chunk, so at 10⁹ docs an unguarded bucket holds ~15k
+    * docs → ~10⁸ candidate pairs per bucket per chunk. Dropping
+    * oversized buckets trades recall on pathological chunks (all-zero
+    * simhashes of empty docs, template chunks) for a bounded join —
+    * the standard LSH guard. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sims = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
@@ -274,13 +307,17 @@ object Dedup {
     val chunked = sims.select(col("id"), col("simhash"),
       posexplode(expr("transform(sequence(0,3), c -> (simhash >> (c*16)) & 65535)")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
-    val a = chunked.select(col("chunk"), col("chunkVal"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("chunkVal"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    val guarded = dropOversizedBuckets(chunked, Seq("chunk", "chunkVal"), maxBucketSize)
+    val a = guarded.select(col("chunk"), col("chunkVal"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = guarded.select(col("chunk"), col("chunkVal"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    // verify (codegen'd bit_count) and threshold BEFORE the cross-chunk
+    // dedup: the vast majority of candidate pairs fail hamming <= 3, so
+    // the dedup shuffle sees only true near-dups
     a.join(b, Seq("chunk", "chunkVal"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("int"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

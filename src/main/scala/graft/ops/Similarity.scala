@@ -157,10 +157,15 @@ object Similarity {
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
     val joined = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // verify + threshold BEFORE the cross-table dedup: pairs colliding in
+    // k tables recompute the O(dim) codegen cosine k times (k ≤ tables),
+    // but the dedup shuffle then carries (id, id, cos) rows instead of
+    // both embedding vectors, and stays a HashAggregate (array-valued
+    // first() forced a SortAggregate over every candidate pair)
     joined
       .withColumn("cos", nativeCos(joined, "emb_a", "emb_b"))
       .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
@@ -267,8 +272,11 @@ object Similarity {
 
     val cands = corpus.join(broadcast(qs), Seq("centroid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
+    // score before the dedup so the dedup shuffle carries scalars, not
+    // embedding vectors (and hash-aggregates instead of sort-aggregating)
     val scored = cands.withColumn("cos", nativeCos(cands, "emb_q", "emb_n"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -297,8 +305,10 @@ object Similarity {
 
     val cands = corpus.join(broadcast(qs), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
+    // as in ivfTopK: score first, dedup scalars
     val scored = cands.withColumn("cos", nativeCos(cands, "emb_q", "emb_n"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -48,7 +48,12 @@ object PdfParser {
   final case class Rect(x: Double, y: Double, w: Double, h: Double)
   final case class PdfPage(number: Int, lines: Vector[PdfLine],
       runs: Vector[TextRun] = Vector.empty, rects: Vector[Rect] = Vector.empty,
-      imageCount: Int = 0) {
+      imageCount: Int = 0,
+      // Σ placed-image area / page area, clamped to [0,1] — the R1
+      // coverage input (reference: page.get_image_rects over MediaBox,
+      // `ocr_engine.py:911-925`). Placement = `Do` of an /Image XObject
+      // under the CTM at that point (unit square × |det CTM| = area).
+      imageCoverage: Double = 0.0) {
     def text: String = lines.map(_.text).mkString("\n")
   }
   final case class PdfDoc(
@@ -64,8 +69,11 @@ object PdfParser {
       val pageDicts = findPages(resolver)
       val pages = pageDicts.zipWithIndex.map { case (pd, i) =>
         val content = contentBytes(pd, resolver)
-        val (lines, runs, rects) = extractContent(content)
-        PdfPage(i + 1, lines, runs, rects, countImages(pd, resolver))
+        val imgNames = imageXObjectNames(pd, resolver)
+        val (lines, runs, rects, imgArea) = extractContent(content, imgNames)
+        val area = pageArea(pd, resolver)
+        val coverage = if (area > 0) math.min(1.0, imgArea / area) else 0.0
+        PdfPage(i + 1, lines, runs, rects, imgNames.size, coverage)
       }
       val sigs = findSignatures(resolver)
       PdfDoc(pages, sigs, "ok", "")
@@ -469,26 +477,52 @@ object PdfParser {
   private def nameOf(d: PDict, key: String): Option[String] =
     d.get(key).collect { case PName(v) => v }
 
-  /** Count /Subtype /Image XObjects in the page's resource dict — the
-    * image_count input to R1 page classification (the reference's
-    * `page.get_images`, `ocr_engine.py:906-908`). Image *coverage* needs
-    * content-stream CTM tracking and is documented out of scope
-    * (coverage = 0.0 → the >0.3/>0.7 branches never fire here). */
-  private def countImages(page: PDict, r: Resolver): Int = {
+  /** Names of /Subtype /Image XObjects in the page's resource dict —
+    * their size is the image_count input to R1 page classification (the
+    * reference's `page.get_images`, `ocr_engine.py:906-908`); the names
+    * let extractContent attribute `Do` placements to images for the
+    * coverage computation. Images placed via nested Form XObjects are
+    * out of the documented subset. */
+  private def imageXObjectNames(page: PDict, r: Resolver): Set[String] = {
     r.resolve(page.get("Resources").getOrElse(PNull)) match {
       case res: PDict =>
         r.resolve(res.get("XObject").getOrElse(PNull)) match {
           case xo: PDict =>
-            xo.entries.values.count { v =>
-              r.resolve(v) match {
-                case PStream(d, _) => nameOf(d, "Subtype").contains("Image")
-                case _ => false
-              }
-            }
-          case _ => 0
+            xo.entries.iterator.collect {
+              case (name, v) if (r.resolve(v) match {
+                  case PStream(d, _) => nameOf(d, "Subtype").contains("Image")
+                  case _ => false
+                }) => name
+            }.toSet
+          case _ => Set.empty
         }
-      case _ => 0
+      case _ => Set.empty
     }
+  }
+
+  /** Page area from /MediaBox, inherited through /Parent per the spec;
+    * US-Letter fallback when absent (the reference's page.rect always
+    * exists because PyMuPDF applies the same defaulting). */
+  private def pageArea(page: PDict, r: Resolver): Double = {
+    var node: PdfObj = page
+    var depth = 0
+    while (depth < 32) {
+      node match {
+        case d: PDict =>
+          d.get("MediaBox").map(r.resolve) match {
+            case Some(PArr(items)) if items.length >= 4 =>
+              val v = items.map(o => num(r.resolve(o)))
+              return math.abs((v(2) - v(0)) * (v(3) - v(1)))
+            case _ =>
+              d.get("Parent") match {
+                case Some(p) => node = r.resolve(p); depth += 1
+                case None => return 612.0 * 792.0
+              }
+          }
+        case _ => return 612.0 * 792.0
+      }
+    }
+    612.0 * 792.0
   }
 
   private def contentBytes(page: PDict, r: Resolver): Array[Byte] = {
@@ -563,9 +597,14 @@ object PdfParser {
   /** Execute the text operators of one page's content stream, collecting
     * positioned text runs; cluster into lines by y (tolerance 2pt, PDF
     * y-axis points up so reading order = y descending), x ascending.
-    * Also collects `re` rectangles (ruled-table grid lines, E9). */
-  private def extractContent(content: Array[Byte])
-      : (Vector[PdfLine], Vector[TextRun], Vector[Rect]) = {
+    * Also collects `re` rectangles (ruled-table grid lines, E9) and
+    * tracks the graphics state (q/Q/cm) so `Do` placements of /Image
+    * XObjects accumulate placed-image area (R1 coverage): an image draws
+    * into the unit square mapped through the CTM, so its placed area is
+    * |det CTM| = |a·d − b·c|. */
+  private def extractContent(content: Array[Byte],
+      imageNames: Set[String] = Set.empty)
+      : (Vector[PdfLine], Vector[TextRun], Vector[Rect], Double) = {
     val runs = new ArrayBuffer[TextRun](32)
     val rects = new ArrayBuffer[Rect](8)
     val lexer = new ContentLexer(content)
@@ -574,6 +613,11 @@ object PdfParser {
     var tlm = Matrix.identity // text line matrix
     var tm = Matrix.identity  // text matrix
     var leading = 0.0
+    // graphics state: CTM + the q/Q stack (only the CTM component is
+    // modeled — color/clip state does not affect text or coverage)
+    var ctm = Matrix.identity
+    val gsStack = new ArrayBuffer[Matrix](4)
+    var imageArea = 0.0
     val operands = new ArrayBuffer[PdfObj](8)
 
     def showText(bytes: Array[Byte]): Unit = {
@@ -629,6 +673,18 @@ object PdfParser {
             case "re" if operands.length >= 4 =>
               val o = operands.takeRight(4).map(num)
               rects += Rect(o(0), o(1), o(2), o(3))
+            case "q" => gsStack += ctm
+            case "Q" =>
+              if (gsStack.nonEmpty) ctm = gsStack.remove(gsStack.length - 1)
+            case "cm" if operands.length >= 6 =>
+              val o = operands.takeRight(6).map(num)
+              ctm = Matrix(o(0), o(1), o(2), o(3), o(4), o(5)).multiply(ctm)
+            case "Do" if operands.nonEmpty =>
+              operands.last match {
+                case PName(nm) if imageNames.contains(nm) =>
+                  imageArea += math.abs(ctm.a * ctm.d - ctm.b * ctm.c)
+                case _ =>
+              }
             case _ => // other non-text operator — ignored
           }
           operands.clear()
@@ -652,7 +708,7 @@ object PdfParser {
       val ordered = rs.toVector.sortBy(_.x)
       PdfLine(ordered.map(_.text).mkString(" "), ordered.head.x, ySum / count)
     }
-    (pdfLines, runs.toVector, rects.toVector)
+    (pdfLines, runs.toVector, rects.toVector, imageArea)
   }
 
   private def num(o: PdfObj): Double = o match { case PNum(v) => v; case _ => 0.0 }

@@ -70,4 +70,84 @@ object PdfTables {
     if (matrix.forall(_.forall(_.isEmpty))) Vector.empty
     else Vector(DetectedTable(page.number, (x0, y0, x1, y1), matrix))
   }
+
+  /** Ruled + (optionally) unruled detection. Unruled detection is behind
+    * a flag because it is heuristic: the reference's `find_tables` text
+    * strategy also finds whitespace-aligned tables, but flowing
+    * paragraphs with coincidental alignment can false-positive, so
+    * callers opt in. Runs inside already-detected ruled bboxes are
+    * excluded from the unruled pass (no double detection). */
+  def detectAll(page: PdfParser.PdfPage, includeUnruled: Boolean = false,
+      thin: Double = 2.0): Vector[DetectedTable] = {
+    val ruled = detect(page, thin)
+    if (!includeUnruled) ruled
+    else ruled ++ detectUnruled(page, ruled.map(_.bbox))
+  }
+
+  private val XTol = 4.0
+
+  /** Whitespace-aligned (borderless) table detection over E1's
+    * positioned runs — the from-scratch stand-in for the text strategy
+    * of PyMuPDF `page.find_tables()` (`ocr_engine.py:1486`). Closed-world
+    * heuristic: a table is ≥2 CONSECUTIVE text lines each holding ≥2
+    * positioned runs whose x-origins align into ≥2 shared columns
+    * (tolerance 4 pt). Cells = runs assigned to their x-column; rows
+    * emitted top-to-bottom. */
+  def detectUnruled(page: PdfParser.PdfPage,
+      exclude: Seq[(Double, Double, Double, Double)] = Nil): Vector[DetectedTable] = {
+    def excluded(r: PdfParser.TextRun): Boolean = exclude.exists {
+      case (x0, y0, x1, y1) =>
+        r.x >= x0 - Tol && r.x <= x1 + Tol && r.y >= y0 - Tol && r.y <= y1 + Tol
+    }
+    // cluster runs into y-lines, top-to-bottom
+    val sorted = page.runs.filterNot(excluded).sortBy(r => (-r.y, r.x))
+    val lines = new ArrayBuffer[(Double, Double, ArrayBuffer[PdfParser.TextRun])] // (ySum, cnt, runs)
+    sorted.foreach { r =>
+      lines.lastOption match {
+        case Some((ySum, cnt, rs)) if math.abs(ySum / cnt - r.y) <= Tol =>
+          rs += r
+          lines(lines.length - 1) = (ySum + r.y, cnt + 1, rs)
+        case _ => lines += ((r.y, 1.0, ArrayBuffer(r)))
+      }
+    }
+    // maximal groups of consecutive multi-run lines
+    val groups = new ArrayBuffer[Vector[ArrayBuffer[PdfParser.TextRun]]]
+    val cur = new ArrayBuffer[ArrayBuffer[PdfParser.TextRun]]
+    def flush(): Unit = {
+      if (cur.length >= 2) groups += cur.toVector
+      cur.clear()
+    }
+    lines.foreach { case (_, _, rs) =>
+      if (rs.length >= 2) cur += rs else flush()
+    }
+    flush()
+
+    groups.toVector.flatMap { group =>
+      // columns: clustered x-origins across the whole group
+      val xs = cluster(group.flatMap(_.map(_.x)))
+      // a column must be shared by ≥2 lines — a one-line x is kerning,
+      // not structure
+      val shared = xs.filter(cx =>
+        group.count(_.exists(r => math.abs(r.x - cx) <= XTol)) >= 2)
+      // every line must hit ≥2 shared columns (aligned, not coincidental)
+      val aligned = shared.length >= 2 &&
+        group.forall(_.count(r => shared.exists(cx => math.abs(r.x - cx) <= XTol)) >= 2)
+      if (!aligned) None
+      else {
+        // each run lands in its NEAREST shared column
+        val matrix = group.map { rs =>
+          val cells = Array.fill(shared.length)(Vector.empty[PdfParser.TextRun])
+          rs.foreach { r =>
+            val c = shared.indices.minBy(c => math.abs(r.x - shared(c)))
+            cells(c) :+= r
+          }
+          cells.toVector.map(_.sortBy(_.x).map(_.text).mkString(" "))
+        }.toVector
+        val allRuns = group.flatten
+        val bbox = (allRuns.map(_.x).min, allRuns.map(_.y).min,
+          allRuns.map(_.x).max, allRuns.map(_.y).max)
+        Some(DetectedTable(page.number, bbox, matrix))
+      }
+    }
+  }
 }

@@ -44,6 +44,25 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got(7L).isEmpty)
   }
 
+  test("reserved/colliding column names fail fast instead of producing ambiguity") {
+    val events = Seq((1L, 10L, ts("2026-01-01 09:00:00")))
+      .toDF("event_id", "key", "ts")
+    val rates = Seq((10L, ts("2026-01-01 08:00:00"), 5.0))
+      .toDF("rkey", "rts", "rate")
+    // payload name already present on the left
+    val clash = events.withColumn("rate", lit(0.0))
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(clash, rates, "key", "rkey", "ts", "rts", Seq("rate"))
+    }
+    assert(e1.getMessage.contains("rate"))
+    // reserved temp prefix on the left
+    val reserved = events.withColumn("__k", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(reserved, rates, "key", "rkey", "ts", "rts", Seq("rate"))
+    }
+    assert(e2.getMessage.contains("__"))
+  }
+
   test("left columns pass through untouched and row count is preserved") {
     val events = Seq((1L, 10L, ts("2026-01-01 09:00:00"), "payload"))
       .toDF("event_id", "key", "ts", "extra")

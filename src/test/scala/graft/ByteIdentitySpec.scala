@@ -88,6 +88,33 @@ class ByteIdentitySpec extends AnyFunSuite {
     assert(result.signatureStatus == "digitally_signed" || result.signatureStatus == "both")
   }
 
+  test("E7: PDF handwritten signature needs a drawing below the label") {
+    import graft.corpus.PdfWriter
+    val label = Seq(Seq("Signature:")) // run at (72, 720)
+    // signature line drawn inside the search band (x∈[52,282], y∈[660,720])
+    val signed = PdfWriter.build(label,
+      drawnRects = Map(0 -> Seq((100.0, 680.0, 120.0, 2.0))))
+    val rs = Extractor.extract("u://sig", new java.sql.Timestamp(0), signed, "en")
+    assert(rs.signatureStatus == "manually_signed",
+      s"label + drawing below must flag handwritten, got ${rs.signatureStatus}")
+    // the label alone — "mentions signature" ≠ "has a signature region"
+    val unsigned = Extractor.extract("u://nosig", new java.sql.Timestamp(0),
+      PdfWriter.build(label), "en")
+    assert(unsigned.signatureStatus == "unsigned")
+    // a drawing OUTSIDE the 60pt-below band does not flag
+    val farRect = Extractor.extract("u://far", new java.sql.Timestamp(0),
+      PdfWriter.build(label, drawnRects = Map(0 -> Seq((400.0, 100.0, 50.0, 2.0)))), "en")
+    assert(farRect.signatureStatus == "unsigned")
+    // HTML keeps the text-pattern path (no vector geometry exists there);
+    // the paragraph is long enough to classify as main content
+    val html = "<html><body><p>Please add your signature here today so that " +
+      "the agreement between both parties becomes effective and the terms " +
+      "described in the preceding sections can be executed as written.</p></body></html>"
+    val rh = Extractor.extract("u://html", new java.sql.Timestamp(0),
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8), "en")
+    assert(rh.signatureStatus == "manually_signed")
+  }
+
   test("empty payloads report empty status with empty text") {
     Seq(90L, 91L).foreach { i =>
       val row = CorpusGen.row(i)
@@ -129,6 +156,34 @@ class ByteIdentitySpec extends AnyFunSuite {
     assert(rm.pages.head.imageCount == 1)
     assert(rm.pages.head.pageType == "digital_text") // coverage 0.0 → not significant
     assert(rm.documentStructure == "pure_digital")
+  }
+
+  test("R1: coverage branches — mixed_content and coverage-driven scanned_image") {
+    import graft.corpus.PdfWriter
+    val longLine = "this page has a real digital text layer of well over fifty characters total"
+    // text layer + 500x500 placement (coverage ~0.516 > 0.3) → mixed
+    val mixedPdf = PdfWriter.build(Seq(Seq(longLine)),
+      imagePlacements = Map(0 -> Seq((50.0, 100.0, 500.0, 500.0))))
+    val rm = Extractor.extract("u://mixed", new java.sql.Timestamp(0), mixedPdf, "en")
+    assert(rm.status == "ok")
+    assert(rm.pages.map(_.pageType) == Seq("mixed_content"))
+    assert(rm.pages.head.extractionMethod == "hybrid")
+    assert(rm.documentStructure == "mixed")
+    assert(rm.recommendedStrategy == "hybrid_extraction")
+    assert(rm.estimatedTimeSec == 12.0) // 0.05*(1-1) + 10*0 + 12*1
+    // no text layer + 600x600 placement (coverage ~0.743 > 0.7) → scanned
+    val scanPdf = PdfWriter.build(Seq(Seq.empty),
+      imagePlacements = Map(0 -> Seq((6.0, 96.0, 600.0, 600.0))))
+    val rs = Extractor.extract("u://scan", new java.sql.Timestamp(0), scanPdf, "en")
+    assert(rs.pages.map(_.pageType) == Seq("scanned_image"),
+      s"coverage=${rs.pages.head} should take the >0.7 scanned branch, not image_with_text")
+    assert(rs.documentStructure == "pure_scanned")
+    // classification unit thresholds for the coverage parameter
+    assert(Extractor.classifyPage(100, 1, 0.30)._1 == "digital_text") // not > 0.3
+    assert(Extractor.classifyPage(100, 1, 0.31)._1 == "mixed_content")
+    assert(Extractor.classifyPage(20, 1, 0.70)._1 == "image_with_text") // not > 0.7
+    assert(Extractor.classifyPage(20, 1, 0.71)._1 == "scanned_image")
+    assert(Extractor.classifyPage(20, 0, 0.71)._1 == "scanned_image")
   }
 
   test("R1/R2: per-page classification and document_structure roll-up") {

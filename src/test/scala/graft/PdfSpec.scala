@@ -89,6 +89,53 @@ class PdfSpec extends AnyFunSuite {
     assert(doc.pages.head.text == "hello from objstm")
   }
 
+  test("image coverage from CTM-tracked Do placements (R1)") {
+    // MediaBox 612x792 = 484704 pt²; a 500x500 placement covers ~0.516
+    val doc = PdfParser.parse(PdfWriter.build(Seq(Seq("x")),
+      imagePlacements = Map(0 -> Seq((50.0, 100.0, 500.0, 500.0)))))
+    assert(doc.status == "ok")
+    assert(doc.pages.head.imageCount == 1)
+    assert(math.abs(doc.pages.head.imageCoverage - 500.0 * 500 / (612 * 792)) < 1e-9)
+    // two placements accumulate; declared-but-unplaced stays 0.0
+    val two = PdfParser.parse(PdfWriter.build(Seq(Seq("x")),
+      imagePlacements = Map(0 -> Seq((0.0, 0.0, 100.0, 100.0), (200.0, 200.0, 100.0, 100.0)))))
+    assert(math.abs(two.pages.head.imageCoverage - 2 * 100.0 * 100 / (612 * 792)) < 1e-9)
+    val declaredOnly = PdfParser.parse(PdfWriter.build(Seq(Seq("x")), imagePages = Set(0)))
+    assert(declaredOnly.pages.head.imageCount == 1)
+    assert(declaredOnly.pages.head.imageCoverage == 0.0)
+  }
+
+  test("q/Q restore the CTM around placements; coverage clamps at 1.0") {
+    // nested q 2x-scale q placement Q Q then an unscaled placement:
+    // first Do under cm(2x) doubles each dimension → 4x the area
+    val content =
+      "q 2 0 0 2 0 0 cm q 100 0 0 100 10 10 cm /Im1 Do Q Q\n" +
+      "q 100 0 0 100 10 10 cm /Im1 Do Q\n"
+    val pdf = rawPdfWithImage(content)
+    val doc = PdfParser.parse(pdf)
+    assert(doc.status == "ok")
+    val expected = (4 * 100.0 * 100 + 100.0 * 100) / (612 * 792)
+    assert(math.abs(doc.pages.head.imageCoverage - expected) < 1e-9)
+    // a page-sized placement clamps to 1.0
+    val full = PdfParser.parse(rawPdfWithImage("q 2000 0 0 2000 0 0 cm /Im1 Do Q\n"))
+    assert(full.pages.head.imageCoverage == 1.0)
+  }
+
+  private def rawPdfWithImage(content: String): Array[Byte] = {
+    val s = new StringBuilder
+    s.append("%PDF-1.4\n")
+    s.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    s.append("2 0 obj << /Type /Pages /MediaBox [0 0 612 792] /Kids [3 0 R] /Count 1 >> endobj\n")
+    // MediaBox inherited from the Pages parent (spec behavior)
+    s.append("3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    s.append(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    s.append("5 0 obj << /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 4 >> stream\nABCD\nendstream endobj\n")
+    s.append("trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    s.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
   private def buildRawContentPdf(content: String): Array[Byte] = {
     val s = new StringBuilder
     s.append("%PDF-1.4\n")

@@ -115,4 +115,34 @@ class SimilarityDedupSpec extends AnyFunSuite {
     // jaccard is the exact value, not the signature estimate
     planted.foreach { case (_, _, j) => assert(j >= 0.6 && j <= 1.0) }
   }
+
+  test("simhash mega-bucket guard bounds candidates on a degenerate corpus") {
+    // 600 identical docs: every chunk of every doc lands in the same 4
+    // buckets. Unguarded that is 4 x 600² /2 candidate pairs; the guard
+    // (maxBucketSize = 100 < 600) drops the degenerate buckets entirely.
+    val clones = spark.range(600)
+      .select(col("id").as("doc_id"), lit("the same boilerplate text").as("text"))
+    val guarded = Dedup.simhashDupPairs(clones, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 100)
+    assert(guarded.count() == 0, "oversized buckets must be dropped, not joined")
+    // and with the guard above the corpus size, the pairs come back
+    val open = Dedup.simhashDupPairs(clones.limit(30), "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 1000)
+    assert(open.count() == 30L * 29 / 2)
+  }
+
+  test("LSH bucket guards plan with no sort (groupBy+broadcast anti-join)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    for ((name, df) <- Seq(
+        "minhash" -> Dedup.minhashDupPairs(docs, "doc_id", "text"),
+        "simhash" -> Dedup.simhashDupPairs(docs, "doc_id", "text"))) {
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(!planStr.contains("Window"),
+        s"$name guard must not window-sort the banded rows:\n$planStr")
+      assert(planStr.contains("BroadcastHashJoin") &&
+             planStr.contains("LeftAnti"),
+        s"$name guard must be a broadcast anti-join:\n$planStr")
+    }
+  }
 }

@@ -119,6 +119,37 @@ class TablesSpec extends AnyFunSuite {
       "intro line\nName Qty Price\nwidget 4 $12.50\ngadget 7 $919.30\nTotal $931.80")
   }
 
+  test("E9: whitespace-aligned (unruled) table detected behind the flag") {
+    // same golden matrix, NO grid rules drawn — only x-aligned cell runs
+    val totalRow = goldenMatrix.last
+    val bytes = PdfWriter.build(Seq(Seq("intro line")),
+      unruledTable = Some(goldenMatrix))
+    val doc = PdfParser.parse(bytes)
+    assert(doc.status == "ok")
+    // the ruled detector must NOT fire (no rules exist)...
+    assert(PdfTables.detect(doc.pages.head).isEmpty)
+    // ...and detectAll without the flag stays ruled-only
+    assert(PdfTables.detectAll(doc.pages.head).isEmpty)
+    // the unruled detector reconstructs the matrix (the empty Qty cell of
+    // the Total row yields an empty column cell, as in the ruled case)
+    val detected = PdfTables.detectAll(doc.pages.head, includeUnruled = true)
+    assert(detected.length == 1, s"got $detected")
+    assert(detected.head.matrix == goldenMatrix.map(_.toVector).toVector)
+    // a plain multi-line paragraph page (one run per line) detects nothing
+    val prose = PdfParser.parse(PdfWriter.build(Seq(Seq(
+      "one line of prose", "another line of prose", "third line here"))))
+    assert(PdfTables.detectAll(prose.pages.head, includeUnruled = true).isEmpty)
+    // end-to-end through the engine flag
+    val withFlag = graft.extract.Extractor.extract("u://unruled",
+      new java.sql.Timestamp(0), bytes, "en", unruledTables = true)
+    assert(withFlag.tables.length == 1)
+    assert(withFlag.tables.head.data.nonEmpty)
+    val withoutFlag = graft.extract.Extractor.extract("u://unruled",
+      new java.sql.Timestamp(0), bytes, "en")
+    assert(withoutFlag.tables.isEmpty)
+    assert(totalRow.head == "Total") // fixture shape guard
+  }
+
   test("HTML <table> extraction: thead/tbody, th/td, colspan") {
     val html =
       """<html><body><main><p>text</p>
