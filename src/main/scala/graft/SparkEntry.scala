@@ -449,6 +449,53 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // E9 unruled: whitespace-aligned tables through the engine flag —
+    // inline fixture PDFs (the corpus stays byte-stable), ruled twin rows
+    // prove the two detectors produce the same matrix for the same cells
+    "tables_unruled" -> ((s, dir) => {
+      import s.implicits._
+      val matrix = Seq(Seq("Name", "Qty", "Price"),
+        Seq("widget", "4", "$12.50"), Seq("gadget", "7", "$919.30"),
+        Seq("Total", "", "$931.80"))
+      val rows = (0 until 20).map { i =>
+        val ruled = i % 2 == 0
+        val pdf =
+          if (ruled) graft.corpus.PdfWriter.build(Seq(Seq(s"doc $i")), table = Some(matrix))
+          else graft.corpus.PdfWriter.build(Seq(Seq(s"doc $i")), unruledTable = Some(matrix))
+        (f"pdf://tables/$i%03d", new java.sql.Timestamp(0L), pdf,
+          if (ruled) "ruled" else "unruled")
+      }
+      val input = rows.toDF("url", "warc_ts", "html", "lang")
+      Pipeline.run(input, unruledTables = true).toDF()
+        .select(col("url"), col("lang").as("kind"), explode(col("tables")).as("t"))
+        .select(col("url"), col("kind"), col("t.rows"), col("t.cols"),
+          col("t.hasHeader").as("has_header"),
+          col("t.isFinancial").as("is_financial"),
+          col("t.hasTotalRow").as("has_total_row"),
+          md5(col("t.csv")).as("csv_digest"))
+        .orderBy(col("url"))
+    }),
+
+    // E7 signature-drawings check through the engine: label+rect ⇒
+    // manually_signed, label alone ⇒ unsigned, AcroForm ⇒ digital
+    "signatures_e7" -> ((s, dir) => {
+      import s.implicits._
+      val label = Seq(Seq("Signature:"))
+      val rows = (0 until 30).map { i =>
+        val pdf = (i % 3) match {
+          case 0 => graft.corpus.PdfWriter.build(label,
+            drawnRects = Map(0 -> Seq((100.0, 680.0, 120.0, 2.0))))
+          case 1 => graft.corpus.PdfWriter.build(label)
+          case _ => graft.corpus.PdfWriter.build(label, withSignature = true)
+        }
+        (f"pdf://sig/$i%03d", new java.sql.Timestamp(0L), pdf, "en")
+      }
+      Pipeline.run(rows.toDF("url", "warc_ts", "html", "lang")).toDF()
+        .select(col("url"), col("signatureStatus").as("signature_status"),
+          size(col("signatures")).as("n_digital"))
+        .orderBy(col("url"))
+    }),
+
     // -------------------------------------- dedup family (rows-only)
 
     "minhash_pairs" -> ((s, dir) => {
