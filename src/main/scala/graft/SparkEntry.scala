@@ -526,6 +526,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // connected components over the ORACLE-CHECKED exact-Jaccard edge
+    // set (the same 80-doc graph as jaccard_pairs_sql): the DuckDB twin
+    // computes the true transitive closure with a recursive CTE, so a
+    // green row certifies Dedup.components' min-label fixpoint — the
+    // clustering stage of dedupByMinhash — not merely that rows landed.
+    "cluster_components_sql" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          array_distinct(split(lower(col("text")), " ", -1)).as("toks"))
+      val a = docs.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
+      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard", round(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))), 4))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("id_a"), col("id_b"))
+      Dedup.components(pairs, rounds = 20)
+        .orderBy(col("id"))
+    }),
+
     // bounded all-pairs token-set Jaccard — the ORACLE-CHECKED exact
     // form of the similarity metric (80 docs => 3160 pairs; the scale
     // path for the same metric is the MinHash-LSH candidate pipeline
@@ -830,6 +851,28 @@ object SparkEntry {
         | SELECT user_id, event_type, value,
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // min reachable id per node == connected component: the recursive
+    // CTE's UNION-dedup fixpoint is the ground-truth transitive closure
+    // the Spark side's bounded min-label propagation must agree with
+    "cluster_components_sql" ->
+      """WITH RECURSIVE d AS (
+        | SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+        | FROM documents WHERE doc_id < 200),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id
+        | WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |   / len(list_distinct(a.toks || b.toks)), 4) >= 0.9),
+        |e AS (
+        | SELECT id_a AS na, id_b AS nb FROM p
+        | UNION ALL SELECT id_b, id_a FROM p),
+        |cc AS (
+        | SELECT na AS node, na AS label FROM e
+        | UNION
+        | SELECT e.nb, cc.label FROM cc JOIN e ON e.na = cc.node)
+        |SELECT node AS id, MIN(label) AS component
+        |FROM cc GROUP BY node ORDER BY id""".stripMargin,
 
     "jaccard_pairs_sql" ->
       """WITH d AS (

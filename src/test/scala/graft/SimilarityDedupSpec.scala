@@ -102,6 +102,21 @@ class SimilarityDedupSpec extends AnyFunSuite {
       assert(c <= id % 1000000, s"jitter $id labeled $c above its base") }
   }
 
+  test("components propagates min labels across multi-hop chains exactly") {
+    // two chains and one isolated pair: label must travel the full chain
+    // length (4 hops), not just one neighborhood round
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), // chain -> 10
+      (30L, 31L), (31L, 32L),                          // chain -> 30
+      (50L, 51L)                                       // pair  -> 50
+    ).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val want = Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 50L -> 50L, 51L -> 50L)
+    assert(got == want, s"components mismatch: $got")
+  }
+
   test("exact n-gram Jaccard dedup verifies minhash candidates") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).limit(300)
