@@ -81,6 +81,46 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H q10 shape: returned-item revenue by customer over a date
+    // window. Scale notes: only nation broadcasts (25 rows); customer is
+    // key-scale so its join shuffles (AQE may still elect broadcast at
+    // small SF), and the o_orderdate filter prunes at the orders scan.
+    "q10_returned_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.filter(col("l_returnflag") === "R")
+        .join(o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // multi-level aggregation (ROLLUP grouping sets): per-(type, day)
+    // counts plus per-type and grand-total roll-up rows in one pass —
+    // Spark plans a single Expand + two-phase hash aggregate, no
+    // re-scan per level. NULL group keys are COALESCEd to 'ALL' on both
+    // sides so the driver's column-sorted compare sees identical rows.
+    "events_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("value"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit("ALL")).as("day"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "q6_filtered_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(col("l_quantity") < 24 && col("l_discount") >= 0.05 &&
@@ -551,6 +591,28 @@ object SparkEntry {
     // form of the similarity metric (80 docs => 3160 pairs; the scale
     // path for the same metric is the MinHash-LSH candidate pipeline
     // below, which never goes all-pairs)
+    // exact token-shingle (3-gram) Jaccard on the jaccard_pairs_sql doc
+    // set — certifies the dedup family's shingle construction
+    // (PyText.splitWs lowercase tokens, k-token space-joined windows,
+    // below-k whole-string fallback) against an independent DuckDB
+    // list-comprehension twin; hash-free string sets on both sides keep
+    // the rounded float byte-exact (murmur is the one step not covered)
+    "shingle_jaccard_sql" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 80 && length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .as[(Long, String, Long, String)]
+        .map { case (ia, ta, ib, tb) => (ia, ib, Dedup.shingleJaccardExact(ta, tb, 3)) }
+        .toDF("id_a", "id_b", "jaccard")
+        .filter(col("jaccard") > 0)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "jaccard_pairs_sql" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 80)
         .select(col("doc_id"),
@@ -873,6 +935,48 @@ object SparkEntry {
         | SELECT e.nb, cc.label FROM cc JOIN e ON e.na = cc.node)
         |SELECT node AS id, MIN(label) AS component
         |FROM cc GROUP BY node ORDER BY id""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "events_rollup" ->
+      """WITH e AS (
+        | SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        | coalesce(day, 'ALL') AS day,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY ROLLUP (event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
+
+    // same shingle construction as Dedup.shingleStrings: python-split
+    // lowercase tokens, 3-token space-joined windows, below-k texts
+    // collapse to one whole-string shingle; string-set jaccard
+    "shingle_jaccard_sql" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\v]+'), t -> t != '') AS toks
+        | FROM documents WHERE doc_id < 80 AND len(text) > 0),
+        |s AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+        | FROM d WHERE len(toks) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "jaccard_pairs_sql" ->
       """WITH d AS (

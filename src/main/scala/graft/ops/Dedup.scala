@@ -54,20 +54,46 @@ object Dedup {
   /** Word k-shingles of a text, hashed to Long (MurmurHash3 of the
     * joined shingle). Lowercased, whitespace-tokenized. */
   def shingleHashes(text: String, k: Int): Array[Long] = {
+    val strings = shingleStrings(text, k)
+    val out = new Array[Long](strings.length)
+    var i = 0
+    while (i < strings.length) {
+      out(i) = scala.util.hashing.MurmurHash3.stringHash(strings(i)).toLong & 0xFFFFFFFFL
+      i += 1
+    }
+    out
+  }
+
+  /** The k-token shingle strings `shingleHashes` fingerprints (same
+    * tokenization — python-split lowercase — and windowing): texts with
+    * fewer than k tokens collapse to one whole-string shingle. The
+    * hash-free form exists so the exact oracle twin can compare string
+    * SETS with DuckDB, where a murmur collision could flip a rounded
+    * jaccard's last digit. */
+  def shingleStrings(text: String, k: Int): Array[String] = {
     val tokens = graft.analyzers.PyText.splitWs(text.toLowerCase(java.util.Locale.ROOT))
     if (tokens.length < k) {
-      if (tokens.isEmpty) Array.empty
-      else Array(scala.util.hashing.MurmurHash3.stringHash(tokens.mkString(" ")).toLong & 0xFFFFFFFFL)
+      if (tokens.isEmpty) Array.empty else Array(tokens.mkString(" "))
     } else {
-      val out = new Array[Long](tokens.length - k + 1)
+      val out = new Array[String](tokens.length - k + 1)
       var i = 0
       while (i + k <= tokens.length) {
-        val sh = tokens.slice(i, i + k).mkString(" ")
-        out(i) = scala.util.hashing.MurmurHash3.stringHash(sh).toLong & 0xFFFFFFFFL
+        out(i) = tokens.slice(i, i + k).mkString(" ")
         i += 1
       }
       out
     }
+  }
+
+  /** Exact shingle-set Jaccard over shingle STRINGS (no fingerprint):
+    * byte-stable ground truth for `shingle_jaccard_sql`; `ngramJaccard`
+    * is the same metric over murmur fingerprints. */
+  def shingleJaccardExact(a: String, b: String, k: Int): Double = {
+    val sa = shingleStrings(a, k).toSet
+    val sb = shingleStrings(b, k).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else if (sa.isEmpty || sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
   }
 
   /** MinHash signature of a shingle-hash set. */

@@ -117,6 +117,22 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(got == want, s"components mismatch: $got")
   }
 
+  test("shingleJaccardExact: hash-free metric, python-split semantics, edge cases") {
+    assert(Dedup.shingleJaccardExact("", "", 3) == 1.0)
+    assert(Dedup.shingleJaccardExact("a b c d", "", 3) == 0.0)
+    // below-k texts fall back to the single whole-string shingle
+    assert(Dedup.shingleJaccardExact("a b", "a b", 3) == 1.0)
+    assert(Dedup.shingleJaccardExact("a b", "a c", 3) == 0.0)
+    val t1 = "the quick brown fox jumps over the lazy dog"
+    assert(Dedup.shingleJaccardExact(t1, t1, 3) == 1.0)
+    // agrees with the fingerprinted form (no murmur collisions here)
+    val t2 = "the quick brown fox jumps over the lazy cat"
+    assert(math.abs(Dedup.shingleJaccardExact(t1, t2, 3) -
+      Dedup.ngramJaccard(t1, t2, 3)) < 1e-12)
+    // run-of-whitespace + case normalization match python str.split()
+    assert(Dedup.shingleJaccardExact("A  B\tC", "a b c", 3) == 1.0)
+  }
+
   test("exact n-gram Jaccard dedup verifies minhash candidates") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).limit(300)
