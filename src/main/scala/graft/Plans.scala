@@ -107,6 +107,20 @@ object Plans {
           ops.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 4), k = 5)
         }),
 
+      ("events_rollup: grouping sets in one pass",
+        """Must hold: ONE Expand node feeds a partial+final HashAggregate
+          |pair — all three ROLLUP levels ((type,day), (type), ()) come
+          |from a single scan, never one re-aggregation per level.""".stripMargin,
+        SparkEntry.queries("events_rollup")(spark, sf)),
+
+      ("q10: returned-item revenue (selective multi-join)",
+        """Must hold: the o_orderdate range predicate reaches the orders
+          |scan as PushedFilters (the probe side shrinks before any join);
+          |nation arrives via BroadcastExchange; the revenue aggregate is
+          |partial+final HashAggregate under TakeOrderedAndProject — the
+          |top-20 never materializes the full group set on one node.""".stripMargin,
+        SparkEntry.queries("q10_returned_revenue")(spark, sf)),
+
       ("Checkpoint output read with bucket pruning",
         """Must hold: PartitionFilters prunes to the requested bucket —
           |a resume run reads only the partitions it recomputes.""".stripMargin,

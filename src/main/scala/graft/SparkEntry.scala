@@ -121,6 +121,20 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // semi-structured extraction: JSON path access inside the scan
+    // projection (get_json_object is codegen'd — no UDF) feeding a
+    // two-phase hash aggregate; the webtext-pipeline shape for
+    // crawl-metadata sidecars carried as JSON strings
+    "events_props_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     "q6_filtered_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(col("l_quantity") < 24 && col("l_discount") >= 0.05 &&
@@ -935,6 +949,14 @@ object SparkEntry {
         | SELECT e.nb, cc.label FROM cc JOIN e ON e.na = cc.node)
         |SELECT node AS id, MIN(label) AS component
         |FROM cc GROUP BY node ORDER BY id""".stripMargin,
+
+    // SUM(BIGINT) cast back to BIGINT per the HUGEINT->float64 rule
+    "events_props_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        | MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,

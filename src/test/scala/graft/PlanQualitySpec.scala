@@ -79,6 +79,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
   }
 
+  test("events_rollup computes all grouping-set levels from one Expand") {
+    val q = SparkEntry.queries("events_rollup")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val planStr = finalPlans(q).map(_.toString).mkString("\n")
+    assert("Expand".r.findAllIn(planStr).length >= 1,
+      s"rollup must plan an Expand node:\n$planStr")
+    val hashAggs = "HashAggregate".r.findAllIn(planStr).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
+    // one scan feeds every level — no per-level re-aggregation union
+    assert(!planStr.contains("Union"), "rollup must not union per-level scans")
+  }
+
+  test("q10 pushes the order-date window into the orders scan") {
+    val q = SparkEntry.queries("q10_returned_revenue")(spark, "/root/testdata/sf0.001")
+    // read scans off the pre-execution plan: after collect(), AQE wraps
+    // finalized stages in QueryStageExec and TreeNode.collect no longer
+    // reaches the FileSourceScanExec leaves
+    val ordersScan = scans(q).filter(_.requiredSchema.fieldNames.contains("o_orderdate"))
+    q.collect()
+    assert(ordersScan.nonEmpty, "orders scan not found")
+    val pushed = ordersScan.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate") &&
+      pushed.contains("LessThan(o_orderdate"),
+      s"date window must reach the parquet reader, got: $pushed")
+    val planStr = finalPlans(q).map(_.toString).mkString("\n")
+    assert(planStr.contains("TakeOrderedAndProject"),
+      "top-20 must run as TakeOrderedAndProject, not a global sort")
+  }
+
   test("enhanced v2.1 JSON view is well-formed and deterministic") {
     val results = Pipeline.run(spark.read.parquet(corpusPath))
     val json = Pipeline.enhancedJsonView(results)
