@@ -135,6 +135,19 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // distinct aggregation + exact percentiles: COUNT(DISTINCT) plans the
+    // Expand-based two-phase distinct aggregate; percentile() is the
+    // exact sort-based aggregate (both rounded to 4dp — interpolation
+    // float noise), the shape for per-slice cardinality/latency reports
+    "events_user_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        .orderBy(col("event_type"))
+    }),
+
     "q6_filtered_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(col("l_quantity") < 24 && col("l_discount") >= 0.05 &&
@@ -949,6 +962,15 @@ object SparkEntry {
         | SELECT e.nb, cc.label FROM cc JOIN e ON e.na = cc.node)
         |SELECT node AS id, MIN(label) AS component
         |FROM cc GROUP BY node ORDER BY id""".stripMargin,
+
+    // quantile_cont matches Spark's exact percentile() (same (N-1)
+    // linear-interpolation convention); 4dp rounding absorbs float noise
+    "events_user_percentiles" ->
+      """SELECT event_type,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        | ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // SUM(BIGINT) cast back to BIGINT per the HUGEINT->float64 rule
     "events_props_json" ->
