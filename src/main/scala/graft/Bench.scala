@@ -33,6 +33,15 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Wall-clock budget: the driver runs this main under an external
+    // timeout (round 3: rc=124 after ~30 min with the parseable stdout
+    // line never printed). Every expensive loop below checks the budget
+    // BEFORE starting another round, so the run always ends with a
+    // complete publish instead of being killed mid-leg. Default sized
+    // under the observed driver timeout with margin for sbt startup.
+    val wallT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallT0) / 1e9
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1380").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
@@ -60,15 +69,13 @@ object Bench {
     // waves at c32, 96 at c8; the last-wave tail idles cores for a
     // small fraction of the leg at both parallelism levels
     val nFiles = math.max(64L, nDocs / 1000L).toInt
-    if (!Files.exists(Paths.get(corpusPath))) {
-      graft.corpus.CorpusGen.generate(spark, nDocs, partitions = nFiles)
-        .write.mode("overwrite").parquet(corpusPath)
-    }
-    val corpusBytes = dirBytes(corpusPath)
 
-    // Quarter-size corpus for the SECOND N→4N pair (2 → 8 cores, phase
+    // Quarter-size corpus for the FIRST N→4N pair (2 → 8 cores, phase
     // 2b below): the c2 leg at full size would run ~90 s/pass and
     // dominate the bench; both legs of the pair read this same input.
+    // Generated eagerly (phase 2b runs next); the full-size corpus for
+    // the 8→32 pair is generated lazily when that phase starts, so a
+    // tight budget spends its minutes on the bar-clearing pair first.
     val nDocs2 = math.max(24000L, nDocs / 4)
     val corpusPath2 = s"/tmp/graft_bench_corpus_$nDocs2"
     val nFiles2 = math.max(64L, nDocs2 / 1000L).toInt
@@ -77,6 +84,14 @@ object Bench {
         .write.mode("overwrite").parquet(corpusPath2)
     }
     val corpusBytes2 = dirBytes(corpusPath2)
+    def corpusBytes: Long = dirBytes(corpusPath) // 0 until phase 2 generates it
+    def ensureBigCorpus(): Unit =
+      if (!Files.exists(Paths.get(corpusPath))) {
+        val s = newSession(cpus)
+        try graft.corpus.CorpusGen.generate(s, nDocs, partitions = nFiles)
+          .write.mode("overwrite").parquet(corpusPath)
+        finally s.stop()
+      }
 
     // Each measurement leg is a CHILD JVM pinned with `taskset -c 0..N-1`
     // (graft.BenchLeg): GC, JIT and Spark internals are confined to the
@@ -126,16 +141,20 @@ object Bench {
     spark.stop()
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
 
-    // Metrics over the rounds collected SO FAR — written to disk after
-    // every round so an externally-killed run still leaves a complete,
-    // parseable BENCH/bench.json + BASELINE.md for the rounds it got
-    // through (the final call also prints the bare stdout line).
+    // Metrics over the rounds collected SO FAR — written to disk AND
+    // printed to stdout after every round, so an externally-killed run
+    // still leaves a complete, parseable artifact for the rounds it got
+    // through (the driver parses the LAST JSON line on stdout; round 3's
+    // single end-of-run println was killed with the run).
     def publish(samples: Seq[((Double, Long), (Double, Long), Double, Double, Double)],
-        samples2: Seq[((Double, Long), (Double, Long), Double, Double, Double)],
-        printLine: Boolean): Unit = {
+        samples2: Seq[((Double, Long), (Double, Long), Double, Double, Double)]): Unit = {
       val n = samples.length
+      // the 8→32 pair's median round — absent until phase 2 starts
+      // (the 2→8 pair now runs FIRST; all its fields read -1 meanwhile)
+      val pair = if (samples.isEmpty) None
+        else Some(samples.sortBy(_._3).apply(n / 2))
       val ((sec32, n32), (sec8, n8), efficiency, cpuCeiling, memCeiling) =
-        samples.sortBy(_._3).apply(n / 2)
+        pair.getOrElse(((-1.0, -1L), (-1.0, -1L), -1.0, -1.0, -1.0))
       // the 2→8 pair's median round (hi leg first in the tuple, like 32→8)
       val pair2 = if (samples2.isEmpty) None
         else Some(samples2.sortBy(_._3).apply(samples2.length / 2))
@@ -143,7 +162,9 @@ object Bench {
       // credits bandwidth contention the workload didn't feel in full —
       // extraction is a compute/bandwidth mix, so dividing by the
       // tighter memory ceiling would overclaim)
-      val normalized = samples.map(s => s._3 / s._4).sorted.apply(n / 2)
+      val normalized =
+        if (samples.isEmpty) -1.0
+        else samples.map(s => s._3 / s._4).sorted.apply(n / 2)
       // …and the cleanest read: median efficiency over rounds where the
       // box offered near-linear scaling on BOTH probes (≥ 0.9) — the
       // dedicated-cluster stand-in. -1 when no such window occurred.
@@ -151,10 +172,10 @@ object Bench {
       val cleanEff =
         if (cleanRounds.isEmpty) -1.0
         else cleanRounds.map(_._3).sorted.apply(cleanRounds.length / 2)
-      val thr32 = n32 / sec32
-      val thr8 = n8 / sec8
-      val mbps32 = corpusBytes / 1e6 / sec32
-      val mbps8 = corpusBytes / 1e6 / sec8
+      val thr32 = if (sec32 <= 0) -1.0 else n32 / sec32
+      val thr8 = if (sec8 <= 0) -1.0 else n8 / sec8
+      val mbps32 = if (sec32 <= 0) -1.0 else corpusBytes / 1e6 / sec32
+      val mbps8 = if (sec8 <= 0) -1.0 else corpusBytes / 1e6 / sec8
       val (thr2, thr8b, eff2, cpu2, mem2, sec2, sec8b) = pair2 match {
         case Some(((s8, d8), (s2, d2), e, c, m)) =>
           (d2 / s2, d8 / s8, e, c, m, s2, s8)
@@ -184,55 +205,87 @@ object Bench {
         s""""rounds_completed_2_to_8":${samples2.length},""" +
         s""""rounds_completed":$n}"""
       // Machine-findable twice over (BENCH_r01 "parsed": null — the sbt
-      // logger prefix hid the line): bare stdout line AND a file.
+      // logger prefix hid the line): bare stdout line AND a file. The
+      // line prints on EVERY publish — last-line-wins is the driver's
+      // parse mode, and a timeout between rounds then still yields a
+      // complete artifact.
       Files.writeString(Paths.get("BENCH/bench.json"), line + "\n")
-      if (printLine) println(line)
+      println(line)
     }
 
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[((Double, Long), (Double, Long), Double, Double, Double)]
     val acc2 = scala.collection.mutable.ArrayBuffer
       .empty[((Double, Long), (Double, Long), Double, Double, Double)]
-    def oneRound(): Unit = {
-      val r32 = legRun(cpus, corpusPath)
-      val r8 = legRun(8, corpusPath)
-      val probe = cpuProbeEfficiency(8, cpus)
-      val mem = memProbeEfficiency(8, cpus)
-      acc += ((r32, r8, (r8._1 / r32._1) / 4.0, probe, mem)) // eff = (thr32/thr8)/4
-      publish(acc.toSeq, acc2.toSeq, printLine = false)
-    }
-    (1 to rounds).foreach(_ => oneRound())
-    // extend (bounded) until at least one CLEAN round occurred — a round
-    // where both hardware probes read ≥ 0.9, i.e. the hypervisor actually
-    // offered near-linear scaling. Without this the round artifact can
-    // report clean_window = -1 purely on co-tenant weather (round 2 did).
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ROUNDS", "10").toInt
-    while (acc.length < maxRounds &&
-        !acc.exists(s => math.min(s._4, s._5) >= 0.9))
-      oneRound()
+    // Budget gate: start another round only when the budget clears the
+    // last observed round of the SAME phase (+15% drift margin); the
+    // first round of a phase uses a conservative 4-minute estimate.
+    def budgetAllows(lastRoundSec: Option[Double]): Boolean =
+      elapsedSec + lastRoundSec.getOrElse(240.0) * 1.15 < budgetSec
 
-    // ---- phase 2b: the SECOND N→4N pair, 2 → 8 cores ----
-    // The 8→32 pair runs the hi leg into this host's co-tenant-
-    // oversubscribed DRAM ceiling (the mem probe above routinely reads
-    // 0.2–0.5 while the ALU probe reads ~1.0 — the box itself cannot
-    // stream 4x the data at 4x the threads). The north rule's criterion
-    // is scaling between N and 4N executors; 2 → 8 measures the same 4x
-    // criterion in a regime where the c8 leg's ~90 MB/s is far below
-    // even the degraded bandwidth, so it isolates the JOB's scalability
-    // (partition sizing, task waves, no driver/stage serialization)
-    // from the sandbox's memory wall. Same paired-round methodology,
-    // same pinned child JVMs, own probes.
+    // ---- phase 2b FIRST: the 2 → 8 pair — the bar-clearing criterion ----
+    // The 8→32 pair below runs its hi leg into this host's co-tenant-
+    // oversubscribed DRAM ceiling (its mem probe routinely reads 0.2–0.5
+    // while the ALU probe reads ~1.0 — the box itself cannot stream 4x
+    // the data at 4x the threads). The north rule's criterion is scaling
+    // between N and 4N executors; 2 → 8 measures the same 4x criterion in
+    // a regime where the c8 leg's ~90 MB/s is far below even the degraded
+    // bandwidth, so it isolates the JOB's scalability (partition sizing,
+    // task waves, no driver/stage serialization) from the sandbox's
+    // memory wall. It runs FIRST so a driver timeout can never again
+    // kill the run before the bar-clearing number exists (round 3 ran it
+    // last and shipped rounds_completed_2_to_8 = 0). Same paired-round
+    // methodology, same pinned child JVMs, own probes.
     val rounds2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS_2_8", "3").toInt
+    var lastRound2Sec = Option.empty[Double]
     def oneRound2(): Unit = {
+      val t0 = System.nanoTime()
       val r8 = legRun(8, corpusPath2)
       val r2 = legRun(2, corpusPath2)
       val probe = cpuProbeEfficiency(2, 8)
       val mem = memProbeEfficiency(2, 8)
       acc2 += ((r8, r2, (r2._1 / r8._1) / 4.0, probe, mem)) // eff = (thr8/thr2)/4
-      publish(acc.toSeq, acc2.toSeq, printLine = false)
+      lastRound2Sec = Some((System.nanoTime() - t0) / 1e9)
+      publish(acc.toSeq, acc2.toSeq)
     }
-    (1 to rounds2).foreach(_ => oneRound2())
-    publish(acc.toSeq, acc2.toSeq, printLine = true)
+    // the first 2→8 round always runs (it IS the deliverable); later
+    // rounds are budget-gated
+    oneRound2()
+    while (acc2.length < rounds2 && budgetAllows(lastRound2Sec)) oneRound2()
+
+    // ---- phase 2: the 8 → 32 pair, budget-gated paired rounds ----
+    // Corpus gen (~1-2 min first run) + first round (~4 min estimate)
+    // must both fit; otherwise publish what phase 2b measured and stop.
+    val bigCorpusReady =
+      Files.exists(Paths.get(corpusPath)) || {
+        if (elapsedSec + 360 < budgetSec) { ensureBigCorpus(); true } else false
+      }
+    var lastRoundSec = Option.empty[Double]
+    def oneRound(): Unit = {
+      val t0 = System.nanoTime()
+      val r32 = legRun(cpus, corpusPath)
+      val r8 = legRun(8, corpusPath)
+      val probe = cpuProbeEfficiency(8, cpus)
+      val mem = memProbeEfficiency(8, cpus)
+      acc += ((r32, r8, (r8._1 / r32._1) / 4.0, probe, mem)) // eff = (thr32/thr8)/4
+      lastRoundSec = Some((System.nanoTime() - t0) / 1e9)
+      publish(acc.toSeq, acc2.toSeq)
+    }
+    while (bigCorpusReady && acc.length < rounds && budgetAllows(lastRoundSec))
+      oneRound()
+    // extend (bounded by rounds AND wall clock) until at least one CLEAN
+    // round occurred — a round where both hardware probes read ≥ 0.9,
+    // i.e. the hypervisor actually offered near-linear scaling. Without
+    // this the artifact can report clean_window = -1 purely on co-tenant
+    // weather (round 2 did). Round 3's lesson: this hunt is bounded by
+    // round count but must ALSO be bounded by wall clock, or it eats the
+    // driver's window.
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ROUNDS", "10").toInt
+    while (bigCorpusReady && acc.length > 0 && acc.length < maxRounds &&
+        !acc.exists(s => math.min(s._4, s._5) >= 0.9) &&
+        budgetAllows(lastRoundSec))
+      oneRound()
+    publish(acc.toSeq, acc2.toSeq)
   }
 
   /** 8-vs-N-thread scaling of a streaming memory read (long-array sum
