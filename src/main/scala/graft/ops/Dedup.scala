@@ -17,6 +17,8 @@ import org.apache.spark.sql.expressions.Window
   * dropping buckets above `maxBucketSize`, the standard LSH guard. */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // -------------------------------------------------------------- exact
 
   /** Exact dedup: keep the smallest `idCol` per identical `textCol`.
@@ -253,6 +255,15 @@ object Dedup {
       prevSum = Some(s)
       it += 1
     }
+    // labels travel one hop per round: a component chain longer than
+    // `rounds` exits here unconverged and the result is WRONG for that
+    // chain — surface it instead of returning silently (the caller can
+    // re-run with a higher bound; near-dup cluster diameters in practice
+    // sit far below the default)
+    if (!converged)
+      log.warn(s"Dedup.components: round bound $rounds hit before the " +
+        "min-label fixpoint converged — components spanning longer chains " +
+        "are split; re-run with a higher `rounds`")
     labels
   }
 
@@ -284,8 +295,22 @@ object Dedup {
     val oversized = rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bsize"))
       .filter(col("__bsize") > maxBucketSize)
-      .select(keys.map(col): _*)
-    rows.join(broadcast(oversized), keys, "left_anti")
+    // Surface what the guard removed: a heavy-template corpus (clusters
+    // of >maxBucketSize near-identical docs) otherwise passes silently
+    // with ZERO pairs for those clusters — a recall hole the caller
+    // should see. One extra aggregate pass (the stats action), tiny
+    // result (one row per oversized key).
+    val stats = oversized
+      .agg(count(lit(1)).cast("long").as("k"),
+        coalesce(sum(col("__bsize")), lit(0L)).cast("long").as("r"))
+      .head
+    if (stats.getLong(0) > 0)
+      log.warn(s"LSH guard dropped ${stats.getLong(0)} oversized bucket(s) " +
+        s"covering ${stats.getLong(1)} rows (maxBucketSize=$maxBucketSize); " +
+        "near-dup pairs inside those buckets are NOT reported — exact dedup " +
+        "still covers byte-identical clones, but near-identical template " +
+        "clusters above the bound go undetected")
+    rows.join(broadcast(oversized.select(keys.map(col): _*)), keys, "left_anti")
   }
 
   // -------------------------------------------------------------- simhash
