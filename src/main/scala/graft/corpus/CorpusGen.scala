@@ -234,19 +234,36 @@ $related
   private val oddities =
     "Values where 5 < 6 and x &notathing; stay as literal text tokens in this paragraph of sufficient length for the classifier rules here."
 
-  /** Image-magic payloads for the S8 format gate (k = 92 png, 93 jpg,
-    * 94 gif): correct signature bytes + deterministic junk — the gate
-    * must quarantine on magic alone, never attempt a decode. */
+  /** REAL image payloads for the S8 format gate and the multimodal
+    * feature stage (k = 92 png, 93 jpg, 94 gif): a seeded
+    * gradient-plus-noise grayscale raster encoded with the JDK's
+    * built-in ImageIO writers — the extraction gate still quarantines on
+    * magic bytes alone, while `Multimodal.imageFeatures` decodes actual
+    * pixels (round-3 shipped magic + junk bytes, which made the decode
+    * stage untestable). Deterministic: pixel values are a pure function
+    * of the row index and the JDK encoders are pure. */
   private def imagePayload(i: Long, k: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
     val r = rng(i * 23 + 11)
-    val junk = new Array[Byte](64 + r.nextInt(192))
-    r.nextBytes(junk)
-    val magic: Array[Byte] = k match {
-      case 92 => Array(0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
-      case 93 => Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
-      case _  => "GIF89a".getBytes(StandardCharsets.US_ASCII)
+    val w = 24 + r.nextInt(17)
+    val h = 16 + r.nextInt(17)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val grad = (x * 255 / math.max(1, w - 1) + y * 255 / math.max(1, h - 1)) / 2
+        val lum = math.min(255, grad + r.nextInt(32))
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+        x += 1
+      }
+      y += 1
     }
-    magic ++ junk
+    val out = new java.io.ByteArrayOutputStream(512)
+    val fmt = k match { case 92 => "png"; case 93 => "jpg"; case _ => "gif" }
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
   }
 
   private def garbledPara(i: Long): Array[Byte] = {

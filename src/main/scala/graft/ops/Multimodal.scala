@@ -8,18 +8,27 @@ import org.apache.spark.sql.functions._
   * structs; decode / feature-extract / resize / frame-sample run as
   * batched per-partition stages.
   *
-  * The actual codec work is STUBBED (this container has no image/audio
-  * libraries): `decodeImageStub` produces a deterministic fake decode
-  * from the payload bytes. The Spark-side contract — schema, batch
-  * shape, partition-level batching, metadata struct — is real and
-  * tested; swap the stub for a real codec on a production cluster. */
+  * IMAGE decode is REAL: the JDK's built-in `javax.imageio` readers
+  * (PNG/JPEG/GIF/BMP/TIFF/WBMP — no external libraries) decode the
+  * payload, and width/height/mean-luma/histogram/average-hash are
+  * computed from actual pixels. Payloads ImageIO cannot read (audio,
+  * video, corrupt bytes) fall back to `decodeImageStub`, a deterministic
+  * fake plane, with `decoded = false` on the feature row — the pipeline
+  * shape stays total. Audio/video codecs remain out of scope (the JDK
+  * ships none); their plumbing (frame sampling, metadata) is the real
+  * contract with stubbed byte-slicing. */
 object Multimodal {
+
+  // ImageIO's default ImageInputStream cache writes temp files; 32
+  // executor threads decoding tiny in-memory payloads want the heap path
+  javax.imageio.ImageIO.setUseCache(false)
 
   final case class MediaMeta(mime: String, width: Int, height: Int,
       channels: Int, durationMs: Long)
   final case class MediaRow(id: Long, payload: Array[Byte], meta: MediaMeta)
   final case class ImageFeatures(id: Long, width: Int, height: Int,
-      meanLuma: Double, histogram: Seq[Long], phash: Long)
+      srcWidth: Int, srcHeight: Int, decoded: Boolean,
+      meanLuma: Double, histogram: Seq[Long], ahash: Long)
 
   /** Sniff media type from magic bytes (PNG/JPEG/GIF/RIFF-WebP/MP4). */
   def sniffMime(bytes: Array[Byte]): String = {
@@ -34,9 +43,77 @@ object Multimodal {
     else "application/octet-stream"
   }
 
-  /** STUB decode: deterministic fake "pixels" derived from payload bytes.
-    * Real implementation would be an image codec; the shape (w*h lumas)
-    * and determinism are what the pipeline contract needs. */
+  /** Decode an image payload with the JDK's built-in readers. Returns
+    * null when the bytes are not a decodable image (ImageIO probes
+    * registered readers by content) — callers fall back to the stub so
+    * the partition map stays total over mixed-media tables. */
+  def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    if (payload == null || payload.length < 8) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null } // truncated/corrupt payloads
+  }
+
+  /** Nearest-neighbor grayscale resample of a decoded image to a w×h
+    * luma plane (integer Rec.601 weights — deterministic, no float
+    * rounding; values 0-255). The downsample-before-featurize step every
+    * image pipeline runs so feature cost is O(w·h), not O(megapixels). */
+  def lumaPlane(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Int] = {
+    val sw = img.getWidth
+    val sh = img.getHeight
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = y * sh / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x * sw / w, sy)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        out(y * w + x) = (r * 299 + g * 587 + b * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit average hash (aHash): 8×8 block means over the luma plane,
+    * bit set where the block mean ≥ the global mean of the 64 blocks.
+    * The standard perceptual-dedup baseline (DCT pHash is a drop-in
+    * upgrade on the same plane). */
+  def averageHash(px: Array[Int], w: Int, h: Int): Long = {
+    if (w < 8 || h < 8) return 0L
+    val blocks = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bi = by * 8 + x * 8 / w
+        blocks(bi) += px(y * w + x)
+        counts(bi) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(i =>
+      if (counts(i) == 0) 0.0 else blocks(i).toDouble / counts(i))
+    val mean = means.sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (means(i) >= mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** STUB decode: deterministic fake "pixels" derived from payload bytes
+    * — the fallback plane for payloads ImageIO cannot read (audio/video/
+    * corrupt), keeping the feature stage total and deterministic. */
   def decodeImageStub(payload: Array[Byte], w: Int, h: Int): Array[Int] = {
     val out = new Array[Int](w * h)
     if (payload == null || payload.isEmpty) return out
@@ -49,15 +126,19 @@ object Multimodal {
   }
 
   /** Feature extraction over a media table: per-partition batched map
-    * (the mapInPandas analog — one decode context per partition, rows
-    * processed in a tight loop, never a per-row UDF closure). */
+    * (the mapInPandas analog — decode context and feature loops live in
+    * the partition closure, never a per-row UDF). Decodes REAL pixels
+    * via ImageIO; undecodable payloads take the deterministic stub plane
+    * and report decoded = false. */
   def imageFeatures(media: Dataset[MediaRow], w: Int = 32, h: Int = 32): Dataset[ImageFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition init (real codec would allocate its context here)
       rows.map { r =>
-        val px = decodeImageStub(r.payload, w, h)
+        val img = decodeImage(r.payload)
+        val (px, srcW, srcH, decoded) =
+          if (img != null) (lumaPlane(img, w, h), img.getWidth, img.getHeight, true)
+          else (decodeImageStub(r.payload, w, h), 0, 0, false)
         var sum = 0L
         val hist = new Array[Long](8)
         var i = 0
@@ -67,14 +148,8 @@ object Multimodal {
           i += 1
         }
         val mean = if (px.length == 0) 0.0 else sum.toDouble / px.length
-        // perceptual-hash stub: sign of (pixel - mean) over the first 64 px
-        var ph = 0L
-        i = 0
-        while (i < 64 && i < px.length) {
-          if (px(i) >= mean) ph |= (1L << i)
-          i += 1
-        }
-        ImageFeatures(r.id, w, h, mean, hist.toSeq, ph)
+        ImageFeatures(r.id, w, h, srcW, srcH, decoded, mean, hist.toSeq,
+          averageHash(px, w, h))
       }
     }
   }

@@ -29,6 +29,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(small(0) == px(0))
   }
 
+  test("real ImageIO decode: features from actual pixels") {
+    // 32×16, left half black, right half white — every feature is
+    // predictable from the pixels, not from payload bytes
+    val img = new java.awt.image.BufferedImage(
+      32, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val media = Seq(Multimodal.MediaRow(7L, out.toByteArray,
+      MediaMeta("image/png", 32, 16, 3, 0L))).toDS()
+    val f = Multimodal.imageFeatures(media, w = 32, h = 16).collect().head
+    assert(f.decoded)
+    assert(f.srcWidth == 32 && f.srcHeight == 16)
+    assert(f.meanLuma == 127.5) // half 0, half 255
+    assert(f.histogram(0) == 256 && f.histogram(7) == 256) // two spikes
+    assert(f.histogram.sum == 512)
+    // aHash: the right 4 of each 8-block row are the bright blocks
+    assert(f.ahash == 0xF0F0F0F0F0F0F0F0L)
+  }
+
+  test("corpus image buckets (92/93/94) hold decodable deterministic images") {
+    for (k <- Seq(92L, 93L, 94L)) {
+      val bytes = graft.corpus.CorpusGen.payload(k)
+      val img = Multimodal.decodeImage(bytes)
+      assert(img != null, s"bucket $k did not decode")
+      assert(img.getWidth >= 24 && img.getWidth <= 40)
+      assert(img.getHeight >= 16 && img.getHeight <= 32)
+      // byte-determinism: same index regenerates identical codec bytes
+      assert(bytes.toSeq == graft.corpus.CorpusGen.payload(k).toSeq)
+    }
+    // gradient raster: mean luma sits mid-range, never degenerate
+    val media = Seq(Multimodal.MediaRow(92L, graft.corpus.CorpusGen.payload(92L),
+      MediaMeta("image/png", 0, 0, 3, 0L))).toDS()
+    val f = Multimodal.imageFeatures(media).collect().head
+    assert(f.decoded && f.meanLuma > 60 && f.meanLuma < 220)
+    assert(f.ahash != 0L)
+  }
+
+  test("undecodable payloads fall back to the stub plane with decoded=false") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val media = Seq(Multimodal.MediaRow(1L, junk,
+      MediaMeta("application/octet-stream", 0, 0, 0, 0L))).toDS()
+    val f = Multimodal.imageFeatures(media).collect().head
+    assert(!f.decoded && f.srcWidth == 0 && f.srcHeight == 0)
+    assert(f.histogram.sum == 32 * 32) // stub plane is still total
+  }
+
   test("frame sampling fans out one row per interval with event-time") {
     val media = Seq(
       MediaRow(1L, Array.tabulate(1000)(_.toByte), MediaMeta("video/mp4", 640, 480, 3, 5500L)),
