@@ -283,25 +283,56 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Query-side multi-probe keys: the query's own bucket per table plus
+    * (at multiProbe ≥ 1) every bucket one flipped hyperplane sign away —
+    * the standard multi-probe LSH construction (Lv et al., VLDB 2007):
+    * a near neighbor that disagrees with the query on exactly one plane
+    * still collides, multiplying per-table recall by ~(1 + nPlanes·(1−p))
+    * at the cost of nPlanes extra probed buckets per table, WITHOUT
+    * growing the stored index (more tables would). Corpus rows keep one
+    * bucket per table. */
+  private def probeBuckets(planes: Seq[Array[Array[Float]]],
+      emb: Seq[Float], multiProbe: Int): Seq[(Int, Int)] = {
+    val base = signBuckets(planes, emb)
+    if (multiProbe <= 0) base
+    else base.flatMap { case (t, key) =>
+      (t, key) +: planes(t).indices.map(p => (t, key ^ (1 << p)))
+    }
+  }
+
   /** LSH-bucketed ANN: sign-of-dot-product per hyperplane → bucket key;
     * candidates share a bucket in at least one of `tables` independent
-    * tables; exact cosine re-rank inside buckets. At scale this replaces
-    * the O(N·Q) cross product with a bucket-join whose fan-in is bounded
-    * by bucket occupancy. */
+    * tables (queries also probe hamming-1 buckets when multiProbe ≥ 1);
+    * exact cosine re-rank inside buckets. At scale this replaces the
+    * O(N·Q) cross product with a bucket-join whose fan-in is bounded by
+    * bucket occupancy.
+    *
+    * Parameter note (measured on the synthetic embeddings): true top-k
+    * neighbors here sit at cos 0.33–0.45 (θ ≈ 65–70°, per-plane
+    * agreement p ≈ 0.62) — the hard regime for sign-LSH, where the
+    * round-3 defaults (12 planes, 4 tables, no probes) collide with
+    * probability ~0.003/table and recall was ≈ 0. The defaults below
+    * (8 planes, 8 tables, 1-probe) give per-table hit rate ≈ 0.13 and
+    * measured recall ≈ 0.6–0.8 while probing a bounded slice of the
+    * corpus; `ann_recall` reports the number per run. nPlanes should
+    * grow with log(N/targetBucketSize) at cluster scale. */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int = 12, tables: Int = 4, dim: Int = 64,
+      nPlanes: Int = 8, tables: Int = 8, dim: Int = 64, multiProbe: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     val planes = (0 until tables).map(t => hyperplanes(nPlanes, dim, 42L + t))
     val bPlanes = spark.sparkContext.broadcast(planes)
     def bucketUdf = udf { (emb: Seq[Float]) => signBuckets(bPlanes.value, emb) }
+    def probeUdf = udf { (emb: Seq[Float]) =>
+      probeBuckets(bPlanes.value, emb, multiProbe)
+    }
 
     val corpus = embeddings
       .select(col(idCol).as("neighbor_id"), col(embCol).as("emb_n"))
       .withColumn("bucket", explode(bucketUdf(col("emb_n"))))
     val qs = queries
       .select(col(idCol).as("query_id"), col(embCol).as("emb_q"))
-      .withColumn("bucket", explode(bucketUdf(col("emb_q"))))
+      .withColumn("bucket", explode(probeUdf(col("emb_q"))))
 
     val cands = corpus.join(broadcast(qs), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

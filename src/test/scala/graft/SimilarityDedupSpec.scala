@@ -61,6 +61,27 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
   }
 
+  test("LSH topk with multi-probe keeps reasonable recall") {
+    // sf0.01 (500 vectors): large enough for stable bucket statistics.
+    // True top-5 neighbors sit at cos 0.33-0.45 (per-plane agreement
+    // ~0.62) — the regime where round 3's 12-plane/4-table/no-probe
+    // config measured recall ~0; the 8-plane/8-table/1-probe default
+    // measures 0.74 here (deterministic: fixed seed, fixed data).
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb01.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb01, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb01, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.7, s"LSH recall@5 too low: $recall")
+    // multi-probe is the lever: the same table structure without probes
+    // must not beat the probed form
+    val noProbe = Similarity.lshTopK(emb01, queries, k = 5, multiProbe = 0)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((brute intersect noProbe).size <= (brute intersect lsh).size)
+  }
+
   test("embedding-cosine near-dup pairs find planted duplicates") {
     // plant: vec_id+10000 = same vector with one coordinate nudged
     val jittered = emb.limit(200).as[(Long, Seq[Float], String)]
