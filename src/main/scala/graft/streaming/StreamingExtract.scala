@@ -83,6 +83,45 @@ object StreamingExtract {
       .start()
   }
 
+  private val memSinkSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run the per-(day, event_type) roll-up as a Structured-Streaming job
+    * over a STATIC parquet directory, to completion: file source with a
+    * small maxFilesPerTrigger (forcing multiple micro-batches, so the
+    * stateful aggregation actually accumulates across batches),
+    * event-time tumbling window, complete-mode memory sink, AvailableNow
+    * drain. The checkable invariant is STREAM ≡ BATCH — the returned
+    * DataFrame must equal the one-shot batch aggregate over the same
+    * files, which the driver's DuckDB twin asserts (`streaming_daily_
+    * oracle`). Distinct aggregates are unsupported in streaming, so the
+    * roll-up carries count + sum (the batch `events_daily` query keeps
+    * the distinct-user column). */
+  def dailyEventStats(spark: SparkSession, path: String): DataFrame = {
+    val batch = spark.read.parquet(path)
+    // the file stream source drains a DIRECTORY of files; stage the input
+    // as 16 files so maxFilesPerTrigger=4 yields four genuine micro-
+    // batches and the windowed state provably accumulates across them
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_stream_daily_in_").toString
+    batch.repartition(16).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(staged)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    // memory sink name is session-unique (a repeated call in the same
+    // session would otherwise collide); the name never reaches output
+    val sink = s"graft_stream_daily_${memSinkSeq.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
   /** Event-time windowed roll-up with a watermark — the streaming form of
     * the daily-stats aggregation (`local_queue.py:222-229`): one row per
     * (day window, status) with doc and byte counts, late data beyond the
