@@ -61,6 +61,27 @@ object Extractor {
     * status `unsupported` here (S8; the deterministic engine has no OCR). */
   private val imageFormats = Set("png", "jpg", "gif", "webp", "tiff", "bmp")
 
+  /** Decode a text-ish payload honoring its byte-order mark: UTF-16LE
+    * (FF FE), UTF-16BE (FE FF) and UTF-8 (EF BB BF) BOMs are consumed
+    * and the right JDK charset decodes the rest; BOM-less bytes decode
+    * as UTF-8, the crawl-world default. Real Common-Crawl payloads
+    * include UTF-16 pages (`FF FE 3C 00 ...`); before this they fell
+    * through to the UTF-8 branch and extracted NUL-riddled mojibake
+    * with status ok. */
+  private[extract] def decodeText(bytes: Array[Byte]): String = {
+    if (bytes.length >= 2) {
+      val b0 = bytes(0) & 0xFF
+      val b1 = bytes(1) & 0xFF
+      if (b0 == 0xFE && b1 == 0xFF)
+        return new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16BE)
+      if (b0 == 0xFF && b1 == 0xFE)
+        return new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16LE)
+      if (bytes.length >= 3 && b0 == 0xEF && b1 == 0xBB && (bytes(2) & 0xFF) == 0xBF)
+        return new String(bytes, 3, bytes.length - 3, StandardCharsets.UTF_8)
+    }
+    new String(bytes, StandardCharsets.UTF_8)
+  }
+
   private def startsWith(bytes: Array[Byte], prefix: String): Boolean = {
     if (bytes.length < prefix.length) return false
     var i = 0
@@ -227,7 +248,7 @@ object Extractor {
               analysis = analysis)
           }
         case _ =>
-          val htmlStr = new String(bytes, StandardCharsets.UTF_8)
+          val htmlStr = decodeText(bytes)
           val dom = graft.html.DomBuilder.parse(htmlStr)
           val blocks = Boilerplate.segment(dom).filter(_.isContent)
           val title = Boilerplate.title(dom)

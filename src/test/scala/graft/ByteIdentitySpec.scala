@@ -141,6 +141,36 @@ class ByteIdentitySpec extends AnyFunSuite {
     assert(Extractor.sniffFormat("BM1234".getBytes) == "bmp")
   }
 
+  test("BOM-ed and UTF-16 payloads decode to the same text as plain UTF-8") {
+    import java.nio.charset.StandardCharsets
+    val html = "<html><body><main><h1>Title here</h1>" +
+      "<p>Contrat numéro 42 — paiement reçu. The agreement between both " +
+      "parties becomes effective today and the terms described in the " +
+      "preceding sections shall be executed as they were written down.</p>" +
+      "</main></body></html>"
+    val plain = Extractor.extract("u:plain", new java.sql.Timestamp(0L),
+      html.getBytes(StandardCharsets.UTF_8), "fr")
+    assert(plain.status == "ok" && plain.fullText.contains("numéro"))
+    val cases = Seq(
+      "utf8-bom" -> (Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        html.getBytes(StandardCharsets.UTF_8)),
+      // UTF_16 charset writes the BOM itself (BE by default)
+      "utf16-be-bom" -> html.getBytes(StandardCharsets.UTF_16),
+      "utf16-le-bom" -> (Array(0xFF.toByte, 0xFE.toByte) ++
+        html.getBytes(StandardCharsets.UTF_16LE)))
+    cases.foreach { case (name, bytes) =>
+      val r = Extractor.extract(s"u:$name", new java.sql.Timestamp(0L), bytes, "fr")
+      assert(r.status == "ok", s"$name status=${r.status}")
+      assert(r.fullText == plain.fullText,
+        s"$name: decoded text diverges from the UTF-8 baseline")
+    }
+    // a UTF-16LE page with no BOM handling would be NUL-riddled mojibake;
+    // the regression guard: no NULs survive the decode
+    val le = Array(0xFF.toByte, 0xFE.toByte) ++ html.getBytes(StandardCharsets.UTF_16LE)
+    assert(!Extractor.extract("u:le", new java.sql.Timestamp(0L), le, "fr")
+      .fullText.contains('\u0000'))
+  }
+
   test("R1/R2 end-to-end: scanned and mixed-resource PDF fixtures") {
     // bucket 83: image-only page, no text layer → image_with_text / pure_scanned
     val scanned = CorpusGen.row(83)
