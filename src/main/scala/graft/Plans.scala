@@ -121,6 +121,22 @@ object Plans {
           |top-20 never materializes the full group set on one node.""".stripMargin,
         SparkEntry.queries("q10_returned_revenue")(spark, sf)),
 
+      ("events_user_percentiles: distinct count + exact percentiles",
+        """Must hold: the single COUNT(DISTINCT user_id) plans as the
+          |(event_type, user_id)-keyed ObjectHashAggregate chain with
+          |partial_percentile combining MAP-SIDE before the first
+          |exchange and partial_count(distinct) two-phase — one events
+          |scan, no Union, no per-aggregate re-scan. (Expand appears only
+          |for multiple distinct columns.)""".stripMargin,
+        SparkEntry.queries("events_user_percentiles")(spark, sf)),
+
+      ("events_props_json: JSON-path extraction in the scan projection",
+        """Must hold: get_json_object evaluates as a codegen expression
+          |inside the scan-side projection (no UDF, no eval-python node);
+          |the roll-up is a partial+final HashAggregate pair inside
+          |WholeStageCodegen.""".stripMargin,
+        SparkEntry.queries("events_props_json")(spark, sf)),
+
       ("Checkpoint output read with bucket pruning",
         """Must hold: PartitionFilters prunes to the requested bucket —
           |a resume run reads only the partitions it recomputes.""".stripMargin,

@@ -421,8 +421,10 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
-    // image payloads through the batched multimodal feature stage
-    // (stubbed decode, real schema/partitioning contract)
+    // image payloads through the batched multimodal feature stage —
+    // REAL ImageIO decode (JDK built-in readers): src dims, mean luma,
+    // histogram and average-hash all come from actual pixels of the
+    // corpus's synthesized PNG/JPEG/GIF payloads
     "multimodal_features" -> ((s, dir) => {
       import s.implicits._
       val corpus = CorpusGen.generate(s, 1000, partitions = 8)
@@ -438,11 +440,13 @@ object SparkEntry {
       ops.Multimodal.imageFeatures(media)
         .toDF()
         .select(col("id"), col("width"), col("height"),
+          col("srcWidth").as("src_width"), col("srcHeight").as("src_height"),
+          col("decoded"),
           round(col("meanLuma"), 4).as("mean_luma"),
           // serialized: the driver's pandas compare sorts every column and
           // cannot hash/sort raw arrays (round-2 err) — keep arrays out of
           // driver-compared outputs
-          concat_ws(",", col("histogram")).as("histogram"), col("phash"))
+          concat_ws(",", col("histogram")).as("histogram"), col("ahash"))
         .orderBy(col("id"))
     }),
 
@@ -626,8 +630,12 @@ object SparkEntry {
     // the rounded float byte-exact (murmur is the one step not covered)
     "shingle_jaccard_sql" -> ((s, dir) => {
       import s.implicits._
+      // trim(text) != '' matches the twin's len(toks) > 0: python-split
+      // yields zero tokens exactly when the text is all-whitespace, and
+      // two zero-token docs would otherwise emit a jaccard=1.0 row
+      // (empty-set convention) the DuckDB side excludes
       val docs = t(s, dir, "documents")
-        .filter(col("doc_id") < 80 && length(col("text")) > 0)
+        .filter(col("doc_id") < 80 && trim(col("text")) =!= "")
         .select(col("doc_id"), col("text"))
       val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
       val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
@@ -719,6 +727,37 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // recall@k self-evidence for the APPROXIMATE ANN family: lshTopK and
+    // partial-probe ivfTopK scored against bruteForceTopK on the same
+    // embeddings and queries. "Rows landed" says nothing about an
+    // approximate method's quality; these scalar rows do (round 3's LSH
+    // config returned 2 rows at sf0.1 — recall ≈ 0 — and nothing
+    // surfaced it). ivf_full_probe rides along as the 1.0000 sanity
+    // anchor. Rows-only (the hyperplane/centroid constructions are not
+    // DuckDB-expressible); SimilarityDedupSpec pins recall floors.
+    "ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val k = 5
+      val brute = Similarity.bruteForceTopK(emb, queries, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val nTrue = brute.count()
+      def recallRow(approx: DataFrame, method: String): DataFrame =
+        approx.select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(method).as("method"), lit(k).as("k"), lit(nTrue).as("n_true"),
+            col("hits"), round(col("hits") / lit(nTrue.toDouble), 4).as("recall"))
+      recallRow(Similarity.lshTopK(emb, queries, k), "lsh_p8_t8_mp1")
+        .union(recallRow(
+          Similarity.ivfTopK(emb, queries, k, nCentroids = 16, nProbe = 4),
+          "ivf_probe4of16"))
+        .union(recallRow(
+          Similarity.ivfTopK(emb, queries, k, nCentroids = 8, nProbe = 8),
+          "ivf_full_probe"))
+        .orderBy(col("method"))
+    }),
+
     // ---------------------- resumable checkpoint + lineage (rows-only)
 
     "resumable_lineage" -> ((s, dir) => {
@@ -744,6 +783,18 @@ object SparkEntry {
         .select(col("url"), col("status"), col("format"),
           length(col("fullText")).as("text_chars"))
         .orderBy(col("url"))
+    }),
+
+    // windowed streaming aggregation with a DuckDB twin: the events
+    // parquet is drained as a multi-micro-batch stream (complete-mode
+    // memory sink) and the result must equal the one-shot batch
+    // aggregate — the stream ≡ batch invariant is the oracle-checkable
+    // property of the streaming engine (watermark/append semantics are
+    // spec-locked in StreamingSpec; a finite input's final windows never
+    // close in append mode, so complete mode is the honest comparison)
+    "streaming_daily_oracle" -> ((s, dir) => {
+      graft.streaming.StreamingExtract.dailyEventStats(s, s"$dir/events.parquet")
+        .orderBy(col("day"), col("event_type"))
     }),
 
     // ------------------------------------------ quality (rows-only)
@@ -1112,6 +1163,13 @@ object SparkEntry {
         | CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min,
         | CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the BATCH aggregate the streaming job must reproduce exactly
+    "streaming_daily_oracle" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "value_buckets" ->
       """SELECT CASE WHEN value >= 160 THEN 'certain'

@@ -108,6 +108,39 @@ class PlanQualitySpec extends AnyFunSuite {
       "top-20 must run as TakeOrderedAndProject, not a global sort")
   }
 
+  test("events_user_percentiles: two-phase distinct + partial percentiles, one scan") {
+    val q = SparkEntry.queries("events_user_percentiles")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).map(_.toString).mkString("\n")
+    // a single COUNT(DISTINCT) plans as the (key, distinct-col)-keyed
+    // aggregate chain (Expand only appears for >1 distinct columns);
+    // what must hold: the percentile buffers combine map-side BEFORE the
+    // first exchange, the distinct count is partial+final, and both ride
+    // ONE events scan
+    assert(planStr.contains("partial_percentile"),
+      s"percentile must combine map-side before the shuffle:\n$planStr")
+    assert(planStr.contains("partial_count(distinct"),
+      s"distinct count must be two-phase:\n$planStr")
+    assert("ObjectHashAggregate".r.findAllIn(planStr).length >= 3,
+      s"expected the 3-level distinct aggregate chain:\n$planStr")
+    assert(!planStr.contains("Union"),
+      "distinct + percentile must not re-scan per aggregate")
+    assert("FileScan".r.findAllIn(finalPlans(q).head.toString).length == 1,
+      s"one events scan expected:\n$planStr")
+  }
+
+  test("events_props_json: JSON-path extraction stays in codegen, no UDF") {
+    val q = SparkEntry.queries("events_props_json")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val planStr = finalPlans(q).map(_.toString).mkString("\n")
+    assert(planStr.contains("get_json_object"),
+      s"expected the codegen get_json_object expression:\n$planStr")
+    assert(!planStr.contains("ScalaUDF") && !planStr.contains("BatchEvalPython"),
+      "JSON path must not fall back to a UDF")
+    assert(planStr.contains("*("), s"must stay inside whole-stage codegen:\n$planStr")
+    val hashAggs = "HashAggregate".r.findAllIn(planStr).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
+  }
+
   test("enhanced v2.1 JSON view is well-formed and deterministic") {
     val results = Pipeline.run(spark.read.parquet(corpusPath))
     val json = Pipeline.enhancedJsonView(results)
