@@ -85,7 +85,16 @@ final class MultiPattern(patterns: Seq[String]) {
 
   /** Per-pattern non-overlapping occurrence counts in `text` — exactly
     * `patterns.map(p => PyText.countSub(text, p))`, one pass. */
-  def countAll(text: String): Array[Int] = {
+  def countAll(text: String): Array[Int] = countAllImpl(text, foldCase = false)
+
+  /** countAll over the CASE-FOLDED view of `text` (per-char lowercase,
+    * patterns must be lowercase) — equals
+    * `countAll(text.toLowerCase(ROOT))` for 1:1-lowercasing input
+    * without materializing the lowered copy (a full-document allocation
+    * per doc on the analysis path). */
+  def countAllFoldCase(text: String): Array[Int] = countAllImpl(text, foldCase = true)
+
+  private def countAllImpl(text: String, foldCase: Boolean): Array[Int] = {
     val counts = new Array[Int](nWords)
     val lastEnd = new Array[Int](nWords) // exclusive end of last counted match
     java.util.Arrays.fill(lastEnd, -1)
@@ -93,7 +102,12 @@ final class MultiPattern(patterns: Seq[String]) {
     var i = 0
     val len = text.length
     while (i < len) {
-      val c = text.charAt(i)
+      val c0 = text.charAt(i)
+      val c =
+        if (!foldCase) c0
+        else if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar
+        else if (c0 < 128) c0
+        else Character.toLowerCase(c0)
       var t = child(n, c)
       while (n != 0 && t < 0) { n = fail(n); t = child(n, c) }
       n = if (t >= 0) t else 0

@@ -221,9 +221,20 @@ object TextAnalyzer {
     * serves both the argmax score and the ≥2-distinct-hits category
     * filter (contains ⇔ count > 0). Replaces ~150 full-text indexOf
     * sweeps per document. */
-  def docTypeAndCategories(textLower: String): (String, Seq[String]) = {
+  def docTypeAndCategories(textLower: String): (String, Seq[String]) =
+    docTypeAndCategoriesImpl(textLower, foldCase = false)
+
+  /** Same classification over ORIGINAL-case text: the automaton folds
+    * case per character during its single pass, so the caller never
+    * materializes a full lowered copy of the document (one whole-doc
+    * allocation per doc on the analysis path). */
+  def docTypeAndCategoriesFoldCase(text: String): (String, Seq[String]) =
+    docTypeAndCategoriesImpl(text, foldCase = true)
+
+  private def docTypeAndCategoriesImpl(text: String, foldCase: Boolean)
+      : (String, Seq[String]) = {
     val (mp, idx) = indicatorMatcher
-    val counts = mp.countAll(textLower)
+    val counts = if (foldCase) mp.countAllFoldCase(text) else mp.countAll(text)
     var best = "other"
     var bestScore = 0
     val cats = ArrayBuffer.empty[String]

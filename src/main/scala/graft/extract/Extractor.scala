@@ -461,14 +461,16 @@ object Extractor {
     // extraction contract
     val (wc, summary, docType, cats, kws, ents, handwritten) =
       if (analysis) {
-        val lower = fullText.toLowerCase(java.util.Locale.ROOT)
-        val (dt, cats) = TextAnalyzer.docTypeAndCategories(lower)
+        // no full-document toLowerCase copy: the indicator automaton
+        // folds case during its own pass, and the E7 scan uses the same
+        // zero-copy scanner as the contract path
+        val (dt, cats) = TextAnalyzer.docTypeAndCategoriesFoldCase(fullText)
         (TextAnalyzer.wordCloudFromTokens(tokens),
           TextAnalyzer.summarize(fullText, tokens),
           dt, cats,
           TextAnalyzer.keywordsFromTokens(tokens),
           TextAnalyzer.entities(fullText),
-          handwrittenOverride.getOrElse(sigPatterns.exists(lower.contains))) // E7
+          handwrittenOverride.getOrElse(containsAnySigPattern(fullText))) // E7
       } else {
         // E7 handwriting scan stays on (signatureStatus is contract
         // metadata, not an analyzer) — containsIgnoreCaseAscii avoids

@@ -52,26 +52,35 @@ object DomBuilder {
       }
     }
 
+    // any stack element strictly above idx satisfying p? (index loop —
+    // the previous stack.slice(...).exists allocated a buffer copy per
+    // implied-end-tag check, i.e. per block-level open tag)
+    def existsAbove(idx: Int)(p: OpenEl => Boolean): Boolean = {
+      var i = idx + 1
+      while (i < stack.length) { if (p(stack(i))) return true; i += 1 }
+      false
+    }
+
     def impliedEndTags(incoming: String): Unit = {
       // close <p> when a block-level element opens
       if (closesP(incoming)) {
         val pIdx = lastIndexOf("p")
-        if (pIdx > 0 && !stack.slice(pIdx + 1, stack.length).exists(e => closesP(e.tag) && e.tag != "p"))
+        if (pIdx > 0 && !existsAbove(pIdx)(e => closesP(e.tag) && e.tag != "p"))
           closeTo(pIdx)
       }
       incoming match {
         case "li" =>
           val idx = lastIndexOf("li")
-          if (idx > 0 && !stack.slice(idx + 1, stack.length).exists(e => e.tag == "ul" || e.tag == "ol")) closeTo(idx)
+          if (idx > 0 && !existsAbove(idx)(e => e.tag == "ul" || e.tag == "ol")) closeTo(idx)
         case "dt" | "dd" =>
           val idx = math.max(lastIndexOf("dt"), lastIndexOf("dd"))
           if (idx > 0) closeTo(idx)
         case "tr" =>
           val idx = lastIndexOf("tr")
-          if (idx > 0 && !stack.slice(idx + 1, stack.length).exists(_.tag == "table")) closeTo(idx)
+          if (idx > 0 && !existsAbove(idx)(_.tag == "table")) closeTo(idx)
         case "td" | "th" =>
           val idx = math.max(lastIndexOf("td"), lastIndexOf("th"))
-          if (idx > 0 && !stack.slice(idx + 1, stack.length).exists(e => e.tag == "tr" || e.tag == "table")) closeTo(idx)
+          if (idx > 0 && !existsAbove(idx)(e => e.tag == "tr" || e.tag == "table")) closeTo(idx)
         case "option" =>
           val idx = lastIndexOf("option")
           if (idx > 0) closeTo(idx)

@@ -141,11 +141,62 @@ object HtmlTokenizer {
     -1
   }
 
+  // The crawl-page tag vocabulary, grouped by length for the zero-alloc
+  // matcher below. Order within a group ≈ frequency.
+  private val knownTagsByLen: Array[Array[String]] = {
+    val tags = Seq("a", "b", "i", "u", "p", "q", "s",
+      "br", "dd", "dl", "dt", "em", "h1", "h2", "h3", "h4", "h5", "h6",
+      "hr", "li", "ol", "td", "th", "tr", "ul",
+      "col", "dfn", "div", "img", "ins", "del", "nav", "pre", "sub", "sup",
+      "wbr", "var",
+      "abbr", "area", "base", "body", "cite", "code", "form", "head",
+      "html", "link", "main", "mark", "menu", "meta", "span", "time",
+      "aside", "audio", "embed", "input", "label", "param", "small",
+      "style", "table", "tbody", "tfoot", "thead", "title", "track",
+      "video",
+      "button", "canvas", "dialog", "figure", "footer", "header", "iframe",
+      "legend", "object", "option", "script", "select", "source", "strong",
+      "address", "article", "caption", "details", "section", "summary",
+      "picture",
+      "datalist", "fieldset", "noscript", "optgroup", "template",
+      "textarea",
+      "blockquote", "figcaption")
+    val maxLen = tags.map(_.length).max
+    val out = Array.fill(maxLen + 1)(Array.empty[String])
+    tags.groupBy(_.length).foreach { case (len, ts) => out(len) = ts.toArray }
+    out
+  }
+
+  /** html[start,end) equals `tag` case-insensitively (ASCII fold). */
+  private def regionEqLower(html: String, start: Int, end: Int, tag: String): Boolean = {
+    var k = 0
+    val len = end - start
+    while (k < len) {
+      val c = html.charAt(start + k)
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if (lc != tag.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
   private def readTagName(html: String, start: Int): (String, Int) = {
     var i = start
     val n = html.length
     while (i < n && { val c = html.charAt(i)
       isNameChar(c) }) i += 1
+    // intern the common vocabulary without allocating: tag names repeat
+    // ~50-80 times per page and substring+toLowerCase was two allocations
+    // per occurrence — measurable GC traffic at 32 extraction threads
+    val len = i - start
+    if (len < knownTagsByLen.length) {
+      val group = knownTagsByLen(len)
+      var g = 0
+      while (g < group.length) {
+        if (regionEqLower(html, start, i, group(g))) return (group(g), i)
+        g += 1
+      }
+    }
     (html.substring(start, i).toLowerCase(java.util.Locale.ROOT), i)
   }
 

@@ -89,6 +89,31 @@ object GraftProps extends Properties("graft") {
       new graft.analyzers.MultiPattern(Seq("résultat", "tat")).countAll("résultat tat").toSeq ==
         Seq(1, 2))
 
+  // mixed-case text over the indicator vocabulary + random casing noise
+  private val mixedCaseText: Gen[String] = {
+    val vocab = TextAnalyzer.docTypeIndicators.flatMap(_._2)
+    Gen.listOf(Gen.oneOf(
+      Gen.oneOf(vocab),
+      Gen.oneOf(vocab).map(_.toUpperCase(java.util.Locale.ROOT)),
+      Gen.oneOf(vocab).map(_.capitalize),
+      Gen.alphaStr.map(_.take(6)), Gen.const(" ")))
+      .map(_.mkString(" "))
+  }
+
+  property("fold-case automaton equals countAll over the lowered copy") =
+    forAll(mixedCaseText) { s =>
+      val words = TextAnalyzer.docTypeIndicators.flatMap(_._2).distinct
+      val mp = new graft.analyzers.MultiPattern(words)
+      mp.countAllFoldCase(s).toSeq ==
+        mp.countAll(s.toLowerCase(java.util.Locale.ROOT)).toSeq
+    }
+
+  property("docTypeAndCategoriesFoldCase equals the lowered-copy form") =
+    forAll(mixedCaseText) { s =>
+      TextAnalyzer.docTypeAndCategoriesFoldCase(s) ==
+        TextAnalyzer.docTypeAndCategories(s.toLowerCase(java.util.Locale.ROOT))
+    }
+
   property("docTypeAndCategories via automaton equals the countSub definition") =
     forAll(indicatorText) { s =>
       val (dt, cats) = TextAnalyzer.docTypeAndCategories(s)
