@@ -797,6 +797,34 @@ object SparkEntry {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // cross-document exact n-gram duplication report — the discovery
+    // stage of substring-level dedup (Lee et al. 2022); string form here
+    // for the exact DuckDB twin (the operator's scale path groups by the
+    // 64-bit murmur fingerprint instead — see SimilarityDedupSpec)
+    "dup_ngrams_sql" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 200 && trim(col("text")) =!= "")
+        .select(col("doc_id"), col("text"))
+      Dedup.duplicateShingles(docs, "doc_id", "text", k = 3, minDocs = 2,
+          hashed = false)
+        .orderBy(col("n_occurrences").desc, col("shingle"))
+        .limit(100)
+    }),
+
+    // Gopher-style repetition/shape quality signals (Rae et al. 2021
+    // appendix A1) — pure column expressions, exact DuckDB twin
+    "quality_gopher" -> ((s, dir) => {
+      Quality.withGopherColumns(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 4).as("mean_word_len"),
+          col("n_lines"),
+          round(col("frac_distinct_lines"), 4).as("frac_distinct_lines"),
+          round(col("frac_punct_lines"), 4).as("frac_punct_lines"),
+          round(col("symbol_word_ratio"), 4).as("symbol_word_ratio"),
+          col("gopher_keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------ quality (rows-only)
 
     "quality_scores" -> ((s, dir) => {
@@ -973,6 +1001,52 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS digest, COUNT(*) AS cluster_size, MIN(doc_id) AS canonical_id
         |FROM documents GROUP BY 1 ORDER BY digest LIMIT 100""".stripMargin,
+
+    // same shingle construction as shingle_jaccard_sql's twin, WITHOUT
+    // the distinct (occurrences count every window), grouped cross-doc
+    "dup_ngrams_sql" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\v]+'), t -> t != '') AS toks
+        | FROM documents WHERE doc_id < 200 AND trim(text) != ''),
+        |s AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+        | FROM d WHERE len(toks) > 0),
+        |u AS (SELECT doc_id, unnest(sh) AS shingle FROM s)
+        |SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs,
+        | COUNT(*) AS n_occurrences
+        |FROM u GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_occurrences DESC, shingle LIMIT 100""".stripMargin,
+
+    // exact mirror of Quality.withGopherColumns' column expressions
+    "quality_gopher" ->
+      """WITH g AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w != '')) AS INT) AS n_words,
+        |  length(regexp_replace(text, '\s', '', 'g')) AS nonws_chars,
+        |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS lines,
+        |  length(text) - length(replace(text, '#', '')) AS hash_chars,
+        |  length(text) - length(replace(text, '...', '')) AS ell_chars
+        | FROM documents)
+        |SELECT doc_id, n_words,
+        | ROUND(CASE WHEN n_words = 0 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE CAST(nonws_chars AS DOUBLE) / n_words END, 4) AS mean_word_len,
+        | CAST(len(lines) AS INT) AS n_lines,
+        | ROUND(CASE WHEN len(lines) = 0 THEN CAST(1.0 AS DOUBLE)
+        |  ELSE CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END, 4) AS frac_distinct_lines,
+        | ROUND(CASE WHEN len(lines) = 0 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$'))) AS DOUBLE) / len(lines) END, 4) AS frac_punct_lines,
+        | ROUND(CASE WHEN n_words = 0 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE CAST(hash_chars + ell_chars / 3 AS DOUBLE) / n_words END, 4) AS symbol_word_ratio,
+        | (n_words >= 50 AND n_words <= 100000
+        |  AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(nonws_chars AS DOUBLE) / n_words END) >= 3.0
+        |  AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(nonws_chars AS DOUBLE) / n_words END) <= 10.0
+        |  AND (CASE WHEN len(lines) = 0 THEN 1.0 ELSE CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END) >= 0.7
+        |  AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(hash_chars + ell_chars / 3 AS DOUBLE) / n_words END) <= 0.1) AS gopher_keep
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "quality_sql" ->
       """SELECT doc_id,

@@ -215,6 +215,40 @@ object Dedup {
         org.apache.spark.sql.functions.round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-document exact n-gram duplication report — the discovery
+    * stage of substring-level dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": duplicated spans are
+    * removed at substring, not document, grain): k-token shingles
+    * occurring in at least `minDocs` distinct documents, with document
+    * and occurrence counts. Returns (shingle_hash | shingle, n_docs,
+    * n_occurrences).
+    *
+    * Scale shape: one explode + one partial+final hash aggregate; with
+    * `hashed = true` (the 100 TB path) the shuffle carries (long, long)
+    * rows — never shingle text. The string form exists for inspection
+    * and for the exact DuckDB twin (`dup_ngrams_sql`). */
+  def duplicateShingles(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2, hashed: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+    val exploded =
+      if (hashed)
+        src.flatMap { case (id, t) =>
+          shingleHashes(if (t == null) "" else t, k).iterator.map(h => (id, h))
+        }.toDF("id", "shingle_hash")
+      else
+        src.flatMap { case (id, t) =>
+          shingleStrings(if (t == null) "" else t, k).iterator.map(s => (id, s))
+        }.toDF("id", "shingle")
+    val keyCol = if (hashed) "shingle_hash" else "shingle"
+    exploded.groupBy(col(keyCol))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   // --------------------------------------------- clusters & canonicals
 
   /** Connected components over near-duplicate pairs: iterative

@@ -118,6 +118,45 @@ object Quality {
       graft.analyzers.LangScript.detectLanguage(t).detected)
   }
 
+  /** Gopher-style repetition/shape filter signals (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", appendix A1 — public filter rules) as PURE column
+    * expressions: whole-stage codegen, no UDF, and therefore exactly
+    * DuckDB-twinnable (`quality_gopher` oracle). Signals:
+    * word count / mean word length bands, duplicate-line fraction
+    * (repetition), terminal-punctuation line fraction (C4 rule),
+    * symbol-to-word ratio (# and ellipsis), and the resulting keep flag.
+    * At 100 TB this is one narrow projection over the text column —
+    * the cheap first pass every curation pipeline runs before dedup. */
+  def withGopherColumns(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = textCol
+    df
+      .withColumn("n_words",
+        expr(s"size(filter(split($t, '\\\\s+', -1), w -> w != ''))"))
+      .withColumn("mean_word_len",
+        expr(s"CASE WHEN n_words = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+          s"CAST(length(regexp_replace($t, '\\\\s', '')) AS DOUBLE) / n_words END"))
+      .withColumn("__lines",
+        expr(s"filter(transform(split($t, '\\n', -1), l -> trim(l)), l -> l != '')"))
+      .withColumn("n_lines", expr("size(__lines)"))
+      .withColumn("frac_distinct_lines",
+        expr("CASE WHEN n_lines = 0 THEN CAST(1.0 AS DOUBLE) ELSE " +
+          "CAST(size(array_distinct(__lines)) AS DOUBLE) / n_lines END"))
+      .withColumn("frac_punct_lines",
+        expr("""CASE WHEN n_lines = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+          CAST(size(filter(__lines, l -> l rlike '[.!?"]$')) AS DOUBLE) / n_lines END"""))
+      .withColumn("symbol_word_ratio",
+        expr(s"CASE WHEN n_words = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+          s"CAST((length($t) - length(replace($t, '#', ''))) + " +
+          s"(length($t) - length(replace($t, '...', ''))) / 3 AS DOUBLE) / n_words END"))
+      .withColumn("gopher_keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("frac_distinct_lines") >= 0.7 &&
+        col("symbol_word_ratio") <= 0.1)
+      .drop("__lines")
+  }
+
   /** DataFrame transform: append quality columns to a documents table. */
   def withQualityColumns(df: DataFrame, textCol: String = "text"): DataFrame = {
     val spark = df.sparkSession

@@ -168,6 +168,40 @@ class SimilarityDedupSpec extends AnyFunSuite {
     planted.foreach { case (_, _, j) => assert(j >= 0.6 && j <= 1.0) }
   }
 
+  test("duplicate-shingle report finds cross-document repeated n-grams") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a different text with the quick brown fox inside it"),
+      (3L, "nothing shared here at all frankly speaking now")).toDF("doc_id", "text")
+    val rep = Dedup.duplicateShingles(docs, "doc_id", "text", k = 3,
+        minDocs = 2, hashed = false)
+      .as[(String, Long, Long)].collect()
+      .map { case (s, d, o) => s -> ((d, o)) }.toMap
+    // exactly the shared 3-gram windows cross two docs
+    assert(rep("the quick brown") == ((2L, 2L)))
+    assert(rep("quick brown fox") == ((2L, 2L)))
+    assert(rep.size == 2, s"unexpected report: $rep")
+    // the hashed (scale-path) form agrees on the multiset of counts
+    val hashed = Dedup.duplicateShingles(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .as[(Long, Long, Long)].collect().map { case (_, d, o) => (d, o) }.sorted
+    assert(hashed.toSeq == rep.values.toSeq.sorted)
+  }
+
+  test("gopher signals: keep prose, drop repetition and symbol spam") {
+    import graft.ops.Quality
+    val prose = (1 to 60).map(i => s"word$i").mkString(" ")
+    val repeated = Array.fill(10)("this line repeats itself six times").mkString("\n")
+    val spam = prose + " " + Array.fill(20)("#").mkString(" ")
+    val df = Seq((1L, prose), (2L, repeated), (3L, spam)).toDF("doc_id", "text")
+    val out = Quality.withGopherColumns(df)
+      .select(col("doc_id"), col("gopher_keep"), col("frac_distinct_lines"),
+        col("symbol_word_ratio"))
+      .as[(Long, Boolean, Double, Double)].collect().sortBy(_._1)
+    assert(out(0)._2, "clean prose must pass")
+    assert(!out(1)._2 && out(1)._3 == 0.1, "repeated lines must fail on distinct fraction")
+    assert(!out(2)._2 && out(2)._4 > 0.1, "symbol spam must fail on symbol ratio")
+  }
+
   test("simhash mega-bucket guard bounds candidates on a degenerate corpus") {
     // 600 identical docs: every chunk of every doc lands in the same 4
     // buckets. Unguarded that is 4 x 600² /2 candidate pairs; the guard
