@@ -811,6 +811,21 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // benchmark-decontamination check: distinct-3-gram containment of
+    // "eval" docs (400-449) against the "training" corpus (0-199) —
+    // string shingles for the exact DuckDB twin; the operator's scale
+    // path joins on 64-bit fingerprints
+    "contamination_sql" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 200)
+      val cands = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+      Dedup.contaminationReport(cands, corpus, "doc_id", "text", k = 3,
+          hashed = false)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_hit"),
+          col("contamination"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition/shape quality signals (Rae et al. 2021
     // appendix A1) — pure column expressions, exact DuckDB twin
     "quality_gopher" -> ((s, dir) => {
@@ -1020,6 +1035,29 @@ object SparkEntry {
         | COUNT(*) AS n_occurrences
         |FROM u GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY n_occurrences DESC, shingle LIMIT 100""".stripMargin,
+
+    // same shingle construction; DISTINCT per doc, containment vs the
+    // distinct corpus shingle set
+    "contamination_sql" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\v]+'), t -> t != '') AS toks
+        | FROM documents WHERE doc_id < 200 OR (doc_id >= 400 AND doc_id < 450)),
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        | FROM d WHERE len(toks) > 0),
+        |corp AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id < 200),
+        |cand AS (SELECT doc_id, unnest(sh) AS shingle FROM s
+        |         WHERE doc_id >= 400 AND doc_id < 450)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        | CAST(SUM(CASE WHEN shingle IN (SELECT shingle FROM corp)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        | ROUND(CAST(SUM(CASE WHEN shingle IN (SELECT shingle FROM corp)
+        |   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS contamination
+        |FROM cand GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // exact mirror of Quality.withGopherColumns' column expressions
     "quality_gopher" ->

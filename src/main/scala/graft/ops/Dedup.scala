@@ -249,6 +249,42 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Benchmark-decontamination report (the n-gram overlap check run
+    * before training — GPT-3 appendix C style, k-gram containment): for
+    * every document in `candidates`, the fraction of its DISTINCT
+    * k-token shingles that occur anywhere in `corpus`. Returns
+    * (id, n_shingles, n_hit, contamination).
+    *
+    * Scale shape: the corpus collapses to a distinct shingle-fingerprint
+    * set (one narrow aggregate — at 100 TB this is the precomputed
+    * "training n-gram index"); candidates explode to distinct
+    * (id, fingerprint) rows and a single equi-join + count marks hits.
+    * Nothing is all-pairs and no text shuffles with `hashed = true`;
+    * the string form feeds the exact DuckDB twin. */
+  def contaminationReport(candidates: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int = 8,
+      hashed: Boolean = true): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    def explodeShingles(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val txt = if (t == null) "" else t
+          if (hashed) shingleHashes(txt, k).iterator.map(h => (id, h.toString))
+          else shingleStrings(txt, k).iterator.map(s => (id, s))
+        }.toDF("id", "sh").distinct()
+    val corpusSet = explodeShingles(corpus)
+      .select(col("sh")).distinct().withColumn("__hit", lit(1))
+    explodeShingles(candidates)
+      .join(corpusSet, Seq("sh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / col("n_shingles"), 4))
+  }
+
   // --------------------------------------------- clusters & canonicals
 
   /** Connected components over near-duplicate pairs: iterative

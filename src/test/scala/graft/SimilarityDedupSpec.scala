@@ -187,6 +187,26 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(hashed.toSeq == rep.values.toSeq.sorted)
   }
 
+  test("contamination report measures k-gram containment against a corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val cands = Seq(
+      (10L, "the quick brown fox jumps high"), // 4 of its 4 shingles: 3 in corpus
+      (11L, "completely novel words appear here only")).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(cands, corpus, "doc_id", "text",
+        k = 3, hashed = false)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // doc 10: shingles {the quick brown, quick brown fox, brown fox jumps,
+    // fox jumps high} — first three occur in corpus doc 1
+    assert(rep(0) == ((10L, 4L, 3L, 0.75)))
+    assert(rep(1)._1 == 11L && rep(1)._3 == 0L && rep(1)._4 == 0.0)
+    // hashed (scale-path) form agrees
+    val hashed = Dedup.contaminationReport(cands, corpus, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(hashed.toSeq == rep.toSeq)
+  }
+
   test("gopher signals: keep prose, drop repetition and symbol spam") {
     import graft.ops.Quality
     val prose = (1 to 60).map(i => s"word$i").mkString(" ")
