@@ -137,6 +137,27 @@ object Plans {
           |WholeStageCodegen.""".stripMargin,
         SparkEntry.queries("events_props_json")(spark, sf)),
 
+      ("quality_gopher: curation filter signals as pure column expressions",
+        """Must hold: every Gopher/C4 signal (word bands, duplicate-line
+          |fraction, punct-line fraction, symbol ratio, keep flag) is a
+          |codegen column expression over ONE documents scan — no UDF, no
+          |eval-python, no second pass.""".stripMargin,
+        SparkEntry.queries("quality_gopher")(spark, sf)),
+
+      ("contamination: k-gram containment against the corpus set",
+        """Must hold: the corpus side collapses to a DISTINCT shingle set
+          |(partial+final aggregate) before a single equi-join on the
+          |shingle key marks candidate hits — no cartesian/nested-loop
+          |join, and with hashed=true the join key is a 64-bit
+          |fingerprint, never shingle text.""".stripMargin,
+        {
+          val docs = spark.read.parquet(s"$sf/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          ops.Dedup.contaminationReport(
+            docs.filter(col("doc_id") >= 40), docs.filter(col("doc_id") < 40),
+            "doc_id", "text", k = 3)
+        }),
+
       ("Checkpoint output read with bucket pruning",
         """Must hold: PartitionFilters prunes to the requested bucket —
           |a resume run reads only the partitions it recomputes.""".stripMargin,

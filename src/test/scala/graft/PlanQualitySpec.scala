@@ -141,6 +141,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
   }
 
+  test("quality_gopher signals stay fully codegen (no UDF)") {
+    val q = SparkEntry.queries("quality_gopher")(spark, "/root/testdata/sf0.001")
+    // scan count read pre-collect (post-AQE trees hide leaves in stages)
+    assert("FileScan".r.findAllIn(finalPlans(q).head.toString).length == 1,
+      "one documents scan expected")
+    q.collect() // finalize AQE so codegen spans render
+    val planStr = finalPlans(q).map(_.toString).mkString("\n")
+    assert(!planStr.contains("ScalaUDF") && !planStr.contains("BatchEvalPython"),
+      s"gopher signals must be pure column expressions:\n$planStr")
+    assert(planStr.contains("*("), s"must run inside whole-stage codegen:\n$planStr")
+  }
+
+  test("contamination joins the distinct corpus set — never a cross product") {
+    val q = SparkEntry.queries("contamination_sql")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val planStr = finalPlans(q).map(_.toString).mkString("\n")
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"),
+      s"containment must be an equi-join on the shingle key:\n$planStr")
+    // both the corpus set and the per-candidate distinct run as
+    // partial+final aggregates before/after their exchanges
+    val hashAggs = "HashAggregate".r.findAllIn(planStr).length
+    assert(hashAggs >= 4, s"expected distinct+count aggregate pairs, got $hashAggs")
+  }
+
   test("enhanced v2.1 JSON view is well-formed and deterministic") {
     val results = Pipeline.run(spark.read.parquet(corpusPath))
     val json = Pipeline.enhancedJsonView(results)
