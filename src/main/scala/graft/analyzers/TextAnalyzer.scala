@@ -316,6 +316,11 @@ object TextAnalyzer {
 
   private val keyIndicators = Seq("important", "essentiel", "objectif", "but",
     "conclusion", "résultat", "result", "key", "main", "principal")
+  // one fold-case Aho-Corasick pass replaces lowercase-copy + 10
+  // substring scans per sentence (count > 0 ⇔ lower.contains(ind));
+  // scoreSentence runs per sentence per document — the analyzer suite's
+  // hottest loop by MicroBench
+  private lazy val keyIndicatorMatcher = new MultiPattern(keyIndicators)
 
   /** `_score_sentence` (doc_analyzer.py:305-342). */
   def scoreSentence(sentence: String, position: Int, total: Int,
@@ -335,8 +340,12 @@ object TextAnalyzer {
     else if (wc < 10) score -= 0.5
     else if (wc > 50) score -= 1.0
     if (sentence.exists(Character.isDigit)) score += 0.5
-    val lower = sentence.toLowerCase(java.util.Locale.ROOT)
-    keyIndicators.foreach { ind => if (lower.contains(ind)) score += 0.5 }
+    val indCounts = keyIndicatorMatcher.countAllFoldCase(sentence)
+    var ii = 0
+    while (ii < indCounts.length) {
+      if (indCounts(ii) > 0) score += 0.5
+      ii += 1
+    }
     score
   }
 
