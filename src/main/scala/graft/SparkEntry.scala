@@ -187,13 +187,19 @@ object SparkEntry {
     }),
 
     "wordcloud_top10" -> ((s, dir) => {
+      // token total folded in-plan: every token lands in exactly one
+      // group, so sum(cnt) over the aggregated vocabulary == toks.count()
+      // — computed by an unbounded window over the (bounded, vocabulary-
+      // sized) aggregate instead of a second full corpus scan.
       val toks = t(s, dir, "documents")
         .select(explode(split(lower(col("text")), " ", -1)).as("word"))
         .filter(length(col("word")) > 2)
-      val total = toks.count()
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
       toks.groupBy(col("word"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("pct", round(col("cnt") * lit(100.0) / lit(total.toDouble), 2).cast("double"))
+        .withColumn("pct",
+          round(col("cnt") * lit(100.0) / sum(col("cnt")).over(wAll).cast("double"), 2)
+            .cast("double"))
         .orderBy(col("cnt").desc, col("word"))
         .limit(10)
     }),
@@ -253,14 +259,16 @@ object SparkEntry {
 
     // T5 keyword scoring shape: tf * ln(1 + total/(tf+1)), top 15
     "keyword_topk_sql" -> ((s, dir) => {
+      // token total folded in-plan (see wordcloud_top10): one corpus scan
       val toks = t(s, dir, "documents")
         .select(explode(split(lower(col("text")), " ", -1)).as("word"))
         .filter(length(col("word")) > 3 && !col("word").rlike("^[0-9]+$"))
-      val total = toks.count()
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
       toks.groupBy(col("word"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("score",
-          round(col("cnt") * log(lit(1.0) + lit(total.toDouble) / (col("cnt") + 1)), 4))
+          round(col("cnt") * log(lit(1.0) +
+            sum(col("cnt")).over(wAll).cast("double") / (col("cnt") + 1)), 4))
         .orderBy(col("score").desc, col("word"))
         .limit(15)
     }),
@@ -450,6 +458,48 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // audio payloads through the batched feature stage — REAL
+    // javax.sound.sampled parsing (JDK built-in, the audio analog of the
+    // ImageIO path): sample rate / channels / bit depth / frame count /
+    // duration from the WAV header, RMS + peak from the PCM frames.
+    // Payloads are deterministic synthesized PCM16 square waves (integer
+    // amplitudes — RMS is EXACTLY amp/32768, no trig, bit-stable), plus
+    // PNG bytes to exercise the decoded=false stub branch. Rows-only
+    // (RIFF parsing is not DuckDB-expressible); AudioSpec pins values.
+    "audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(0, 30).as[Long].map { i =>
+        val payload =
+          if (i % 5 == 4) {
+            // undecodable branch: PNG magic + deterministic junk (not
+            // audio — exercises the decoded=false stub row)
+            Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+              Array.tabulate(64)(j => ((i * 31 + j * 7) % 251).toByte)
+          } else {
+            val rate = if (i % 2 == 0) 8000 else 16000
+            val channels = (i % 3 + 1).toInt.min(2)
+            val amp = (2048 * (i % 7 + 1)).toInt.toShort
+            val nFrames = 400 + (i * 37 % 400).toInt
+            val half = 8 + (i % 5).toInt
+            val samples = Array.tabulate(nFrames * channels) { k =>
+              val frame = k / channels
+              if ((frame / half) % 2 == 0) amp else (-amp).toShort
+            }
+            ops.Multimodal.synthWavPcm16(rate, channels, samples)
+          }
+        ops.Multimodal.MediaRow(i, payload,
+          ops.Multimodal.MediaMeta(ops.Multimodal.sniffMime(payload), 0, 0, 0, 0L))
+      }
+      ops.Multimodal.audioFeatures(media)
+        .toDF()
+        .select(col("id"), col("decoded"), col("encoding"),
+          col("sampleRate").cast("int").as("sample_rate"),
+          col("channels"), col("sampleSizeBits").as("bits"),
+          col("frames"), col("durationMs").as("duration_ms"),
+          round(col("rms"), 4).as("rms"), round(col("peak"), 4).as("peak"))
+        .orderBy(col("id"))
+    }),
+
     // S2 base64 ingest: payloads arrive base64-encoded (Lambda body
     // path); unbase64 decode must reproduce the binary-column results
     "extract_base64" -> ((s, dir) => {
@@ -574,8 +624,12 @@ object SparkEntry {
       // guarantee near-dups: a jittered copy of each doc (id + 1e6)
       val jittered = docs.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" tail")).as("text"))
+      // auditGuard: the driver surface keeps the dropped-bucket audit on
+      // (persisted, so the guard's stats action materializes the banding
+      // pass once and the anti-join reuses it); the library default is a
+      // pure plan-builder with no eager action
       Dedup.minhashDupPairs(docs.union(jittered).limit(4000), "doc_id", "text",
-          numHashes = 64, bands = 16, threshold = 0.5)
+          numHashes = 64, bands = 16, threshold = 0.5, auditGuard = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -583,7 +637,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val jittered = docs.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" tail")).as("text"))
-      Dedup.simhashDupPairs(docs.union(jittered).limit(4000), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashDupPairs(docs.union(jittered).limit(4000), "doc_id", "text",
+          maxHamming = 3, auditGuard = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -739,8 +794,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
       val k = 5
+      // persisted: the ground-truth top-k feeds one count + three semi-
+      // joins below — unpersisted, the brute-force corpus scan (the
+      // heaviest job in the bench) re-ran 4x. Q·k = 50 rows cached.
       val brute = Similarity.bruteForceTopK(emb, queries, k)
         .select(col("query_id"), col("neighbor_id"))
+        .persist()
       val nTrue = brute.count()
       def recallRow(approx: DataFrame, method: String): DataFrame =
         approx.select(col("query_id"), col("neighbor_id"))
@@ -748,10 +807,14 @@ object SparkEntry {
           .agg(count(lit(1)).as("hits"))
           .select(lit(method).as("method"), lit(k).as("k"), lit(nTrue).as("n_true"),
             col("hits"), round(col("hits") / lit(nTrue.toDouble), 4).as("recall"))
+      // ivf partial-probe at nProbe = half the centroids: the round-4
+      // registered config (4 of 16) measured recall 0.56 with no floor
+      // documented; 8 of 16 is the config whose band the spec pins
+      // (recall ≥ 0.7 at sf0.01/sf0.1 — SimilarityDedupSpec)
       recallRow(Similarity.lshTopK(emb, queries, k), "lsh_p8_t8_mp1")
         .union(recallRow(
-          Similarity.ivfTopK(emb, queries, k, nCentroids = 16, nProbe = 4),
-          "ivf_probe4of16"))
+          Similarity.ivfTopK(emb, queries, k, nCentroids = 16, nProbe = 8),
+          "ivf_probe8of16"))
         .union(recallRow(
           Similarity.ivfTopK(emb, queries, k, nCentroids = 8, nProbe = 8),
           "ivf_full_probe"))

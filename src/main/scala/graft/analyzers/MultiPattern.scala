@@ -91,8 +91,29 @@ final class MultiPattern(patterns: Seq[String]) {
     * patterns must be lowercase) — equals
     * `countAll(text.toLowerCase(ROOT))` for 1:1-lowercasing input
     * without materializing the lowered copy (a full-document allocation
-    * per doc on the analysis path). */
-  def countAllFoldCase(text: String): Array[Int] = countAllImpl(text, foldCase = true)
+    * per doc on the analysis path).
+    *
+    * Non-1:1 guard: U+0130 (LATIN CAPITAL I WITH DOT ABOVE) is the one
+    * code point whose ROOT lowercase EXPANDS (İ → "i̇", two chars)
+    * — per-char folding would drop the combining dot and can flip
+    * adjacency-sensitive counts (e.g. pattern "is" against "İs": the
+    * expanded form has the dot between 'i' and 's', the per-char form
+    * does not). A cheap pre-scan falls back to the lowered-copy path for
+    * the rare documents containing it, so this method equals
+    * `countAll(text.toLowerCase(ROOT))` on EVERY input, not just 1:1
+    * ones. (Final-sigma Σ→ς is context-dependent but 1:1 in length and
+    * never intersects the ASCII pattern tables, so it needs no guard.) */
+  def countAllFoldCase(text: String): Array[Int] = {
+    var i = 0
+    val len = text.length
+    var hasExpanding = false
+    while (i < len && !hasExpanding) {
+      if (text.charAt(i) == 'İ') hasExpanding = true
+      i += 1
+    }
+    if (hasExpanding) countAllImpl(text.toLowerCase(java.util.Locale.ROOT), foldCase = false)
+    else countAllImpl(text, foldCase = true)
+  }
 
   private def countAllImpl(text: String, foldCase: Boolean): Array[Int] = {
     val counts = new Array[Int](nWords)

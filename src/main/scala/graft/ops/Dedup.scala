@@ -53,14 +53,43 @@ object Dedup {
     }
   }
 
-  /** Word k-shingles of a text, hashed to Long (MurmurHash3 of the
-    * joined shingle). Lowercased, whitespace-tokenized. */
+  /** Word k-shingles of a text, hashed to a 32-bit value widened to Long
+    * (MurmurHash3 of the joined shingle). Lowercased, whitespace-
+    * tokenized. This 32-bit form exists for the MINHASH path only: the
+    * universal hash h(x) = (a·x + b) mod p requires x < 2^32 so a·x + b
+    * stays inside a signed Long (a < 2^31), and minhash quality does not
+    * need a wider domain — per-shingle collisions perturb the signature
+    * estimate far less than the 1/numHashes sampling error. Operators
+    * where hash equality STANDS IN for shingle equality (duplicate
+    * reports, decontamination) must use [[shingleHashes64]] instead. */
   def shingleHashes(text: String, k: Int): Array[Long] = {
     val strings = shingleStrings(text, k)
     val out = new Array[Long](strings.length)
     var i = 0
     while (i < strings.length) {
       out(i) = scala.util.hashing.MurmurHash3.stringHash(strings(i)).toLong & 0xFFFFFFFFL
+      i += 1
+    }
+    out
+  }
+
+  /** Word k-shingles hashed to a genuine 64-bit fingerprint: two
+    * independent-seed murmur passes packed into one Long (the same
+    * construction [[simhash64]] uses). At the 100 TB scale path —
+    * billions of distinct shingles — a 32-bit keyspace saturates and
+    * collision-inflates duplicate counts and contamination fractions;
+    * 64 bits keeps the expected collision count ~(n²/2)/2^64 ≪ 1 at
+    * n = 10^9. Used by [[duplicateShingles]] and [[contaminationReport]]
+    * where fingerprint equality stands in for shingle equality. */
+  def shingleHashes64(text: String, k: Int): Array[Long] = {
+    val strings = shingleStrings(text, k)
+    val out = new Array[Long](strings.length)
+    var i = 0
+    while (i < strings.length) {
+      val s = strings(i)
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(s)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+      out(i) = (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
       i += 1
     }
     out
@@ -124,10 +153,14 @@ object Dedup {
     same.toDouble / a.length
   }
 
-  /** Exact n-gram Jaccard between two texts (verification / small-scale). */
+  /** Exact n-gram Jaccard between two texts (verification / small-scale):
+    * set Jaccard over 64-bit shingle fingerprints — equal to the string-
+    * set Jaccard whenever the fingerprints are collision-free on the two
+    * documents' shingles (expected at any realistic per-document shingle
+    * count with a 64-bit keyspace). */
   def ngramJaccard(a: String, b: String, k: Int): Double = {
-    val sa = shingleHashes(a, k).toSet
-    val sb = shingleHashes(b, k).toSet
+    val sa = shingleHashes64(a, k).toSet
+    val sb = shingleHashes64(b, k).toSet
     if (sa.isEmpty && sb.isEmpty) 1.0
     else if (sa.isEmpty || sb.isEmpty) 0.0
     else sa.intersect(sb).size.toDouble / sa.union(sb).size
@@ -139,7 +172,8 @@ object Dedup {
     * (id, band, bandHash) + compact signatures — never the text. */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-      threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 1000,
+      auditGuard: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -166,7 +200,7 @@ object Dedup {
     // rows reach the self-join without the Window form's full
     // shuffle-and-SORT by (band, bandHash).
     val bucketed = dropOversizedBuckets(banded,
-      Seq("band", "bandHash"), maxBucketSize)
+      Seq("band", "bandHash"), maxBucketSize, auditGuard)
 
     val a = bucketed.select(col("band"), col("bandHash"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = bucketed.select(col("band"), col("bandHash"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -195,12 +229,13 @@ object Dedup {
     * product. The standard two-stage exact-near-dup pipeline. */
   def ngramJaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-      threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 1000,
+      auditGuard: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // candidate generation at a permissive signature threshold
     val cands = minhashDupPairs(df, idCol, textCol, numHashes, bands, shingleK,
-      threshold = math.max(0.0, threshold - 0.2), maxBucketSize)
+      threshold = math.max(0.0, threshold - 0.2), maxBucketSize, auditGuard)
       .select(col("id_a"), col("id_b"))
     val texts = df.select(col(idCol).cast("long").as("tid"), col(textCol).as("ttext"))
     cands
@@ -236,7 +271,7 @@ object Dedup {
     val exploded =
       if (hashed)
         src.flatMap { case (id, t) =>
-          shingleHashes(if (t == null) "" else t, k).iterator.map(h => (id, h))
+          shingleHashes64(if (t == null) "" else t, k).iterator.map(h => (id, h))
         }.toDF("id", "shingle_hash")
       else
         src.flatMap { case (id, t) =>
@@ -266,14 +301,25 @@ object Dedup {
       hashed: Boolean = true): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    def explodeShingles(df: DataFrame): DataFrame =
-      df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    // the two branches keep their NATIVE key type end-to-end: the hashed
+    // (100 TB) path distincts/joins on a long fingerprint column — an
+    // earlier form stringified it so both branches shared a schema, which
+    // carried decimal strings through the operator's hottest shuffle at
+    // ~2-3x the bytes of a long
+    def explodeShingles(df: DataFrame): DataFrame = {
+      val src = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
         .as[(Long, String)]
-        .flatMap { case (id, t) =>
-          val txt = if (t == null) "" else t
-          if (hashed) shingleHashes(txt, k).iterator.map(h => (id, h.toString))
-          else shingleStrings(txt, k).iterator.map(s => (id, s))
-        }.toDF("id", "sh").distinct()
+      val out =
+        if (hashed)
+          src.flatMap { case (id, t) =>
+            shingleHashes64(if (t == null) "" else t, k).iterator.map(h => (id, h))
+          }.toDF("id", "sh")
+        else
+          src.flatMap { case (id, t) =>
+            shingleStrings(if (t == null) "" else t, k).iterator.map(s => (id, s))
+          }.toDF("id", "sh")
+      out.distinct()
+    }
     val corpusSet = explodeShingles(corpus)
       .select(col("sh")).distinct().withColumn("__hit", lit(1))
     explodeShingles(candidates)
@@ -344,8 +390,9 @@ object Dedup {
     * except the final semi/anti joins on ids. */
   def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashDupPairs(df, idCol, textCol, numHashes, bands, shingleK, threshold)
+      threshold: Double = 0.7, auditGuard: Boolean = false): DataFrame = {
+    val pairs = minhashDupPairs(df, idCol, textCol, numHashes, bands, shingleK,
+      threshold, auditGuard = auditGuard)
     val comps = components(pairs)
     val losers = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
@@ -361,26 +408,38 @@ object Dedup {
     * groupBy count (tiny: one row per oversized key) and removed with a
     * broadcast anti-join — no sort, no window. */
   private def dropOversizedBuckets(rows: DataFrame, keys: Seq[String],
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int, auditGuard: Boolean): DataFrame = {
     val oversized = rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bsize"))
       .filter(col("__bsize") > maxBucketSize)
-    // Surface what the guard removed: a heavy-template corpus (clusters
-    // of >maxBucketSize near-identical docs) otherwise passes silently
-    // with ZERO pairs for those clusters — a recall hole the caller
-    // should see. One extra aggregate pass (the stats action), tiny
-    // result (one row per oversized key).
-    val stats = oversized
-      .agg(count(lit(1)).cast("long").as("k"),
-        coalesce(sum(col("__bsize")), lit(0L)).cast("long").as("r"))
-      .head
-    if (stats.getLong(0) > 0)
-      log.warn(s"LSH guard dropped ${stats.getLong(0)} oversized bucket(s) " +
-        s"covering ${stats.getLong(1)} rows (maxBucketSize=$maxBucketSize); " +
-        "near-dup pairs inside those buckets are NOT reported — exact dedup " +
-        "still covers byte-identical clones, but near-identical template " +
-        "clusters above the bound go undetected")
-    rows.join(broadcast(oversized.select(keys.map(col): _*)), keys, "left_anti")
+    // Audit what the guard removes (OPT-IN): a heavy-template corpus
+    // (clusters of >maxBucketSize near-identical docs) otherwise passes
+    // silently with ZERO pairs for those clusters — a recall hole the
+    // caller should see. Opt-in because the stats `.head` is an EAGER
+    // Spark action: it runs the full upstream shingle/minhash/banding
+    // pass at plan-CONSTRUCTION time, which a pure plan-builder must not
+    // do by default. When enabled, `oversized` is persisted first so the
+    // expensive upstream pass materializes ONCE — the anti-join below
+    // then reads the (tiny: one row per oversized key) cache instead of
+    // recomputing the whole pass a second time.
+    val guardKeys =
+      if (!auditGuard) oversized
+      else {
+        val cached = oversized
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val stats = cached
+          .agg(count(lit(1)).cast("long").as("k"),
+            coalesce(sum(col("__bsize")), lit(0L)).cast("long").as("r"))
+          .head
+        if (stats.getLong(0) > 0)
+          log.warn(s"LSH guard dropped ${stats.getLong(0)} oversized bucket(s) " +
+            s"covering ${stats.getLong(1)} rows (maxBucketSize=$maxBucketSize); " +
+            "near-dup pairs inside those buckets are NOT reported — exact dedup " +
+            "still covers byte-identical clones, but near-identical template " +
+            "clusters above the bound go undetected")
+        cached
+      }
+    rows.join(broadcast(guardKeys.select(keys.map(col): _*)), keys, "left_anti")
   }
 
   // -------------------------------------------------------------- simhash
@@ -418,7 +477,8 @@ object Dedup {
     * simhashes of empty docs, template chunks) for a bounded join —
     * the standard LSH guard. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      auditGuard: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sims = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
@@ -428,7 +488,8 @@ object Dedup {
     val chunked = sims.select(col("id"), col("simhash"),
       posexplode(expr("transform(sequence(0,3), c -> (simhash >> (c*16)) & 65535)")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
-    val guarded = dropOversizedBuckets(chunked, Seq("chunk", "chunkVal"), maxBucketSize)
+    val guarded = dropOversizedBuckets(chunked, Seq("chunk", "chunkVal"),
+      maxBucketSize, auditGuard)
     val a = guarded.select(col("chunk"), col("chunkVal"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = guarded.select(col("chunk"), col("chunkVal"), col("id").as("id_b"), col("simhash").as("sh_b"))
     // verify (codegen'd bit_count) and threshold BEFORE the cross-chunk

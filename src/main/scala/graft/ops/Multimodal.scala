@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: the JDK's built-in `javax.imageio` readers
   * (PNG/JPEG/GIF/BMP/TIFF/WBMP — no external libraries) decode the
   * payload, and width/height/mean-luma/histogram/average-hash are
-  * computed from actual pixels. Payloads ImageIO cannot read (audio,
-  * video, corrupt bytes) fall back to `decodeImageStub`, a deterministic
-  * fake plane, with `decoded = false` on the feature row — the pipeline
-  * shape stays total. Audio/video codecs remain out of scope (the JDK
-  * ships none); their plumbing (frame sampling, metadata) is the real
-  * contract with stubbed byte-slicing. */
+  * computed from actual pixels. AUDIO metadata and PCM level stats are
+  * REAL too: `javax.sound.sampled.AudioSystem` (also JDK built-in)
+  * parses WAV/AIFF/AU headers — encoding, sample rate, channels, bit
+  * depth, frame count, duration — and the PCM frames feed RMS/peak
+  * stats. Payloads neither family can read (video, compressed audio,
+  * corrupt bytes) fall back to deterministic stubs with
+  * `decoded = false` on the feature row — the pipeline shape stays
+  * total. Video remains the one genuinely stubbed modality (the JDK
+  * ships no video codec); its plumbing (frame sampling, metadata) is
+  * the real contract with stubbed byte-slicing. */
 object Multimodal {
 
   // ImageIO's default ImageInputStream cache writes temp files; 32
@@ -30,7 +34,8 @@ object Multimodal {
       srcWidth: Int, srcHeight: Int, decoded: Boolean,
       meanLuma: Double, histogram: Seq[Long], ahash: Long)
 
-  /** Sniff media type from magic bytes (PNG/JPEG/GIF/RIFF-WebP/MP4). */
+  /** Sniff media type from magic bytes
+    * (PNG/JPEG/GIF/RIFF-WebP/RIFF-WAV/AIFF/AU/MP4). */
   def sniffMime(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.length < 12) return "application/octet-stream"
     def at(i: Int, v: Int): Boolean = (bytes(i) & 0xFF) == v
@@ -39,8 +44,32 @@ object Multimodal {
     else if (at(0, 'G') && at(1, 'I') && at(2, 'F')) "image/gif"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
              at(8, 'W') && at(9, 'E') && at(10, 'B') && at(11, 'P')) "image/webp"
+    else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+             at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "audio/wav"
+    else if (at(0, 'F') && at(1, 'O') && at(2, 'R') && at(3, 'M') &&
+             at(8, 'A') && at(9, 'I') && at(10, 'F')) "audio/aiff"
+    else if (at(0, '.') && at(1, 's') && at(2, 'n') && at(3, 'd')) "audio/basic"
     else if (at(4, 'f') && at(5, 't') && at(6, 'y') && at(7, 'p')) "video/mp4"
     else "application/octet-stream"
+  }
+
+  /** [[sniffMime]] as a pure Catalyst column expression (when/substring
+    * chain over the binary column — stays inside whole-stage codegen,
+    * where the earlier per-row UDF form broke the span). Semantics match
+    * [[sniffMime]] byte for byte; AudioMimeSpec pins the parity. */
+  def mimeColumn(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def magic(offset1Based: Int, s: String): org.apache.spark.sql.Column =
+      substring(payload, offset1Based, s.length) === lit(s.getBytes("ISO-8859-1"))
+    when(payload.isNull || length(payload) < 12, "application/octet-stream")
+      .when(magic(1, "PNG"), "image/png")
+      .when(magic(1, "ÿØ"), "image/jpeg")
+      .when(magic(1, "GIF"), "image/gif")
+      .when(magic(1, "RIFF") && magic(9, "WEBP"), "image/webp")
+      .when(magic(1, "RIFF") && magic(9, "WAVE"), "audio/wav")
+      .when(magic(1, "FORM") && magic(9, "AIF"), "audio/aiff")
+      .when(magic(1, ".snd"), "audio/basic")
+      .when(magic(5, "ftyp"), "video/mp4")
+      .otherwise("application/octet-stream")
   }
 
   /** Decode an image payload with the JDK's built-in readers. Returns
@@ -154,6 +183,142 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------- audio
+
+  final case class AudioFeatures(id: Long, decoded: Boolean, encoding: String,
+      sampleRate: Double, channels: Int, sampleSizeBits: Int, frames: Long,
+      durationMs: Long, rms: Double, peak: Double)
+
+  /** REAL audio metadata + PCM level stats via the JDK's built-in
+    * `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU — no external
+    * libraries, the audio analog of the ImageIO path): encoding, sample
+    * rate, channel count, bit depth, frame count and duration come from
+    * the parsed header; RMS and peak level (normalized to [0, 1]) from
+    * the decoded PCM frames (8-bit unsigned and 16-bit signed, either
+    * endianness — the encodings AudioSystem ships readers for). Stats
+    * read at most `maxFrames` frames so one pathological payload cannot
+    * blow a task's memory. Returns null when the bytes are not a
+    * parseable audio file — callers fall back to [[audioStub]]. */
+  def decodeAudioFeatures(id: Long, payload: Array[Byte],
+      maxFrames: Int = 1 << 20): AudioFeatures = {
+    if (payload == null || payload.length < 12) return null
+    val ais =
+      try javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => return null } // not audio / truncated
+    try {
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val durationMs =
+        if (frames >= 0 && fmt.getFrameRate > 0)
+          math.round(frames * 1000.0 / fmt.getFrameRate)
+        else -1L
+      val enc = fmt.getEncoding.toString
+      val bits = fmt.getSampleSizeInBits
+      val pcm = enc == "PCM_SIGNED" || enc == "PCM_UNSIGNED"
+      var sumSq = 0.0
+      var peak = 0.0
+      var nSamples = 0L
+      if (pcm && (bits == 8 || bits == 16) && fmt.getFrameSize > 0) {
+        val toRead = math.min(
+          if (frames >= 0) frames else Long.MaxValue, maxFrames.toLong)
+        val buf = new Array[Byte]((toRead * fmt.getFrameSize).toInt)
+        var off = 0
+        var n = 0
+        while (off < buf.length && n >= 0) {
+          n = ais.read(buf, off, buf.length - off)
+          if (n > 0) off += n
+        }
+        val bytesPerSample = bits / 8
+        var i = 0
+        while (i + bytesPerSample <= off) {
+          val v =
+            if (bits == 8) {
+              if (enc == "PCM_UNSIGNED") ((buf(i) & 0xFF) - 128) / 128.0
+              else buf(i) / 128.0
+            } else {
+              val raw =
+                if (fmt.isBigEndian) (buf(i) << 8) | (buf(i + 1) & 0xFF)
+                else (buf(i + 1) << 8) | (buf(i) & 0xFF)
+              val s = raw.toShort.toInt
+              (if (enc == "PCM_UNSIGNED") ((raw & 0xFFFF) - 32768) else s) / 32768.0
+            }
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumSq += v * v
+          nSamples += 1
+          i += bytesPerSample
+        }
+      }
+      val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+      AudioFeatures(id, decoded = true, enc, fmt.getSampleRate.toDouble,
+        fmt.getChannels, bits, frames, durationMs, rms, peak)
+    } catch { case _: Exception => null }
+    finally ais.close()
+  }
+
+  /** Deterministic fallback row for payloads AudioSystem cannot parse
+    * (images, video, corrupt bytes): byte-derived level stats, header
+    * fields zeroed, `decoded = false` — keeps the feature stage total
+    * over mixed-media tables, mirroring [[decodeImageStub]]. */
+  def audioStub(id: Long, payload: Array[Byte]): AudioFeatures = {
+    var sumSq = 0.0
+    var peak = 0.0
+    val n = if (payload == null) 0 else payload.length
+    var i = 0
+    while (i < n) {
+      val v = (payload(i) & 0xFF) / 255.0
+      if (v > peak) peak = v
+      sumSq += v * v
+      i += 1
+    }
+    val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+    AudioFeatures(id, decoded = false, "unknown", 0.0, 0, 0, -1L, -1L, rms, peak)
+  }
+
+  /** Audio feature extraction over a media table: per-partition batched
+    * map (same contract as [[imageFeatures]] — decode context lives in
+    * the partition closure, never a per-row UDF). Real WAV/AIFF/AU
+    * parsing; unparseable payloads take the deterministic stub row. */
+  def audioFeatures(media: Dataset[MediaRow],
+      maxFrames: Int = 1 << 20): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val f = decodeAudioFeatures(r.id, r.payload, maxFrames)
+        if (f != null) f else audioStub(r.id, r.payload)
+      }
+    }
+  }
+
+  /** Deterministic PCM16-LE WAV writer (RIFF/fmt/data) — fixture
+    * generator for the audio stage and its specs, built independently of
+    * AudioSystem so the parse path is tested against a second
+    * implementation of the format. `samples` are channel-interleaved;
+    * length must be a multiple of `channels`. */
+  def synthWavPcm16(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      "samples must be channel-interleaved")
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
   /** STUB resize: nearest-neighbor downsample of the fake luma plane —
     * the partitioning/batching contract of a real resize kernel. */
   def resizeStub(px: Array[Int], w0: Int, h0: Int, w1: Int, h1: Int): Array[Int] = {
@@ -202,11 +367,11 @@ object Multimodal {
     }
   }
 
-  /** Attach a metadata struct column to a raw (id, payload) binary table. */
-  def withMediaMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    val mimeUdf = udf(sniffMime _)
-    df.withColumn("mime", mimeUdf(col(payloadCol)))
+  /** Attach a metadata struct column to a raw (id, payload) binary table.
+    * Pure column expressions ([[mimeColumn]] is a when/substring chain) —
+    * the whole projection stays inside whole-stage codegen. */
+  def withMediaMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("mime", mimeColumn(col(payloadCol)))
       .withColumn("size_bytes", when(col(payloadCol).isNull, 0L)
         .otherwise(length(col(payloadCol)).cast("long")))
-  }
 }

@@ -101,25 +101,48 @@ object StreamingExtract {
     // the file stream source drains a DIRECTORY of files; stage the input
     // as 16 files so maxFilesPerTrigger=4 yields four genuine micro-
     // batches and the windowed state provably accumulates across them
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft_stream_daily_in_").toString
-    batch.repartition(16).write.mode("overwrite").parquet(staged)
-    val stream = spark.readStream.schema(batch.schema)
-      .option("maxFilesPerTrigger", 4)
-      .parquet(staged)
-    val agg = stream
-      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-    // memory sink name is session-unique (a repeated call in the same
-    // session would otherwise collide); the name never reaches output
-    val sink = s"graft_stream_daily_${memSinkSeq.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(sink)
-      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
-        col("event_type"), col("n_events"), col("total_value"))
+    val stagedPath = java.nio.file.Files
+      .createTempDirectory("graft_stream_daily_in_")
+    val staged = stagedPath.toString
+    try {
+      batch.repartition(16).write.mode("overwrite").parquet(staged)
+      val stream = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(staged)
+      val agg = stream
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      // memory sink name is session-unique (a repeated call in the same
+      // session would otherwise collide); the name never reaches output
+      val sink = s"graft_stream_daily_${memSinkSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = spark.table(sink)
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events"), col("total_value"))
+      // materialize the (bounded: one row per day×event_type) result so
+      // the memory-sink view and the staged copy can be released NOW —
+      // repeated oracle/verify calls in one session previously leaked a
+      // full input copy on disk and a complete-mode sink table in driver
+      // memory per invocation
+      val rows = out.collect().toSeq
+      val local = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+      spark.catalog.dropTempView(sink)
+      local
+    } finally deleteRecursively(stagedPath)
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      val paths = Files.walk(root)
+      try paths.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p): Unit)
+      finally paths.close()
+    }
   }
 
   /** Event-time windowed roll-up with a watermark — the streaming form of

@@ -96,7 +96,10 @@ object GraftProps extends Properties("graft") {
       Gen.oneOf(vocab),
       Gen.oneOf(vocab).map(_.toUpperCase(java.util.Locale.ROOT)),
       Gen.oneOf(vocab).map(_.capitalize),
-      Gen.alphaStr.map(_.take(6)), Gen.const(" ")))
+      Gen.alphaStr.map(_.take(6)), Gen.const(" "),
+      // non-1:1 lowercase code point (İ → "i̇", two chars) — exercises
+      // the lowered-copy fallback path, incl. adjacency like "İ" + word
+      Gen.const("İ"), Gen.oneOf(vocab).map("İ" + _)))
       .map(_.mkString(" "))
   }
 
@@ -107,6 +110,19 @@ object GraftProps extends Properties("graft") {
       mp.countAllFoldCase(s).toSeq ==
         mp.countAll(s.toLowerCase(java.util.Locale.ROOT)).toSeq
     }
+
+  // PINNED: U+0130 is the one ROOT-lowercase EXPANSION (İ → "i̇"); a
+  // per-char fold drops the combining dot and would see "is" in "İs"
+  // where Python str.lower()'s two-char form does not. The automaton
+  // must fall back to the lowered copy for such inputs.
+  property("fold-case automaton: U+0130 expansion pinned") = {
+    val mp = new graft.analyzers.MultiPattern(Seq("is", "xi"))
+    val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    mp.countAllFoldCase("İs").toSeq == Seq(0, 0) &&
+    mp.countAllFoldCase("Xi is").toSeq == Seq(1, 1) &&
+    Seq("İs", "Xİ xİs sİs", "İİİ is Xİ").forall(s =>
+      mp.countAllFoldCase(s).toSeq == mp.countAll(lower(s)).toSeq)
+  }
 
   property("docTypeAndCategoriesFoldCase equals the lowered-copy form") =
     forAll(mixedCaseText) { s =>

@@ -61,6 +61,29 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
   }
 
+  test("IVF at nProbe = nCentroids/2 (the registered ann_recall config) holds a 0.7 floor") {
+    // the config the driver's ann_recall query reports (ivf_probe8of16):
+    // round 4 registered 4/16 which measured 0.56 with no documented
+    // band — this pins the raised config's floor on fixed data
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 16, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"IVF 8/16 recall@5 too low: $recall")
+  }
+
+  test("shingle fingerprints: the scale path genuinely uses 64 bits") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val hs = Dedup.shingleHashes64(text, 3)
+    assert(hs.length == Dedup.shingleStrings(text, 3).length)
+    // high 32 bits carry information (a 32-bit hash widened to long
+    // would leave them all-zero / all-one — the round-4 collision bug)
+    assert(hs.exists(h => (h >>> 32) != 0L && (h >>> 32) != 0xFFFFFFFFL))
+    assert(hs.distinct.length == hs.length)
+  }
+
   test("LSH topk with multi-probe keeps reasonable recall") {
     // sf0.01 (500 vectors): large enough for stable bucket statistics.
     // True top-5 neighbors sit at cos 0.33-0.45 (per-plane agreement
