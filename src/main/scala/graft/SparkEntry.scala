@@ -500,6 +500,40 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // video payloads through the container-metadata stage — REAL
+    // from-scratch ISO-BMFF box parsing (ops.Mp4Meta: brand, duration,
+    // tracks, dimensions, codec fourcc from actual bytes; only the frame
+    // DECODE is stubbed — the JDK ships no video codec). Payloads are
+    // deterministic synthesized box trees (independent writer); every
+    // third row is non-MP4 junk exercising the parsed=false branch.
+    "video_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(0, 24).as[Long].map { i =>
+        val payload =
+          if (i % 3 == 2)
+            Array.tabulate(48)(j => ((i * 13 + j * 5) % 251).toByte)
+          else {
+            val dur = 1000L + i * 250L
+            val tracks =
+              if (i % 2 == 0)
+                Seq(("vide", "avc1", 320 + (i * 16).toInt, 240 + (i * 8).toInt),
+                  ("soun", "mp4a", 0, 0))
+              else Seq(("soun", "mp4a", 0, 0))
+            ops.Mp4Meta.synthMp4(timescale = 1000L, duration = dur, tracks)
+          }
+        ops.Multimodal.MediaRow(i, payload,
+          ops.Multimodal.MediaMeta(ops.Multimodal.sniffMime(payload), 0, 0, 0, 0L))
+      }
+      ops.Multimodal.videoFeatures(media)
+        .toDF()
+        .select(col("id"), col("parsed"), col("brand"), col("timescale"),
+          col("durationMs").as("duration_ms"), col("nTracks").as("n_tracks"),
+          col("hasVideo").as("has_video"), col("hasAudio").as("has_audio"),
+          col("width"), col("height"),
+          col("videoCodec").as("video_codec"), col("audioCodec").as("audio_codec"))
+        .orderBy(col("id"))
+    }),
+
     // S2 base64 ingest: payloads arrive base64-encoded (Lambda body
     // path); unbase64 decode must reproduce the binary-column results
     "extract_base64" -> ((s, dir) => {

@@ -319,6 +319,36 @@ object Multimodal {
     bb.array()
   }
 
+  // ------------------------------------------------------------- video
+
+  final case class VideoFeatures(id: Long, parsed: Boolean, brand: String,
+      timescale: Long, durationMs: Long, nTracks: Int, hasVideo: Boolean,
+      hasAudio: Boolean, width: Int, height: Int, videoCodec: String,
+      audioCodec: String)
+
+  /** REAL video CONTAINER metadata via the from-scratch ISO-BMFF box
+    * parser ([[Mp4Meta]]): brand, duration, track count/kinds, visual
+    * dimensions, sample-format fourcc — everything a pipeline filters or
+    * partitions on — from actual bytes. Frame DECODE remains the one
+    * stubbed step (the JDK ships no video codec); [[sampleFrames]] keeps
+    * that contract. Unparseable payloads yield `parsed = false` rows. */
+  def videoFeatures(media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = Mp4Meta.parse(r.payload)
+        if (m == null)
+          VideoFeatures(r.id, parsed = false, "", 0L, -1L, 0,
+            hasVideo = false, hasAudio = false, 0, 0, "", "")
+        else
+          VideoFeatures(r.id, parsed = true, m.brand, m.timescale,
+            m.durationMs, m.nTracks, m.hasVideo, m.hasAudio,
+            m.width, m.height, m.videoCodec, m.audioCodec)
+      }
+    }
+  }
+
   /** STUB resize: nearest-neighbor downsample of the fake luma plane —
     * the partitioning/batching contract of a real resize kernel. */
   def resizeStub(px: Array[Int], w0: Int, h0: Int, w1: Int, h1: Int): Array[Int] = {

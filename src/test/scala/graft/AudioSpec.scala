@@ -69,6 +69,24 @@ class AudioSpec extends AnyFunSuite {
     assert(!out(1).decoded)
   }
 
+  test("AIFF and AU (big-endian PCM) parse with identical level stats") {
+    import javax.sound.sampled.{AudioFileFormat, AudioSystem}
+    // transcode the little-endian WAV fixture through the JDK's AIFF/AU
+    // writers — exercises decodeAudioFeatures' big-endian sample branch
+    // against the same exact square-wave ground truth
+    val wav = Multimodal.synthWavPcm16(8000, 1, square(400, 1, 8192, 8))
+    for (typ <- Seq(AudioFileFormat.Type.AIFF, AudioFileFormat.Type.AU)) {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, typ, out)
+      val f = Multimodal.decodeAudioFeatures(9L, out.toByteArray)
+      assert(f != null && f.decoded, s"$typ failed to parse")
+      assert(f.sampleRate == 8000.0 && f.channels == 1 && f.frames == 400L)
+      assert(f.rms == 0.25 && f.peak == 0.25, s"$typ stats: ${f.rms}/${f.peak}")
+    }
+  }
+
   test("audio magic bytes: WAV / AIFF / AU sniff") {
     assert(Multimodal.sniffMime("RIFFxxxxWAVExxxx".getBytes) == "audio/wav")
     assert(Multimodal.sniffMime("FORMxxxxAIFFxxxx".getBytes) == "audio/aiff")
