@@ -166,6 +166,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashAggs >= 4, s"expected distinct+count aggregate pairs, got $hashAggs")
   }
 
+  test("wordcloud/keyword fold the token total in-plan: one scan per query") {
+    // round-4 forms took a driver-side toks.count() before the aggregate
+    // — a second full corpus scan per query at 100 TB. The total now
+    // comes from an unbounded window over the (vocabulary-sized)
+    // aggregate, so exactly ONE scan of documents may appear.
+    for (name <- Seq("wordcloud_top10", "keyword_topk_sql")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      // count on the pre-execution plan: the executed AQE wrapper's
+      // toString repeats the tree under "Initial Plan" and would double-
+      // count the single scan
+      val planStr = finalPlans(df).head.toString
+      val n = "FileScan".r.findAllIn(planStr).length
+      assert(n == 1,
+        s"$name reads documents $n times — the token total must fold in-plan:\n$planStr")
+      assert(planStr.contains("Window"),
+        s"$name: expected the total as a window over the aggregate")
+    }
+  }
+
+  test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
+    val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(df).map(_.toString).mkString("\n")
+    assert(planStr.contains("InMemoryTableScan") || planStr.contains("InMemoryRelation"),
+      "the brute-force top-k must be persisted — the recall rows otherwise " +
+        s"recompute the heaviest scan per semi-join:\n${planStr.take(2000)}")
+  }
+
   test("enhanced v2.1 JSON view is well-formed and deterministic") {
     val results = Pipeline.run(spark.read.parquet(corpusPath))
     val json = Pipeline.enhancedJsonView(results)
