@@ -534,6 +534,26 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // URL canonicalization — the url-level dedup key every CC-style
+    // curation pipeline computes first (CCNet/RefinedWeb dedupe by
+    // normalized URL before any content hashing). Pure column exprs
+    // (codegen, runnable in the scan projection); messy URLs are
+    // synthesized deterministically from doc_id IDENTICALLY on both
+    // sides so the DuckDB twin checks the normalization itself.
+    "url_canonical" -> ((s, dir) => {
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, "HTTPS").otherwise("http"),
+        lit("://WWW.Example"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 2 === 0, ":443").otherwise(":80"),
+        lit("/Path/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?b=2&a=1&c=3")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("#Frag")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("url_raw"))
+        .withColumn("url", ops.UrlNorm.canonicalizeUrl(col("url_raw")))
+        .orderBy(col("doc_id"))
+    }),
+
     // S2 base64 ingest: payloads arrive base64-encoded (Lambda body
     // path); unbase64 decode must reproduce the binary-column results
     "extract_base64" -> ((s, dir) => {
@@ -949,6 +969,48 @@ object SparkEntry {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    // independent re-implementation of UrlNorm.canonicalizeUrl in
+    // DuckDB SQL over the identically-synthesized raw URLs
+    "url_canonical" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+        |    || '://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+        |    || '/Path/' || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1&c=3' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '#Frag' ELSE '' END) AS url_raw
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT doc_id, url_raw, split_part(url_raw, '#', 1) AS nofrag FROM raw),
+        |p2 AS (
+        |  SELECT doc_id, url_raw,
+        |    split_part(nofrag, '?', 1) AS preq,
+        |    CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2)
+        |         ELSE '' END AS query
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT doc_id, url_raw, query,
+        |    lower(split_part(preq, '://', 1)) AS scheme,
+        |    split_part(split_part(preq, '://', 2), '/', 1) AS hostport,
+        |    substr(split_part(preq, '://', 2),
+        |      length(split_part(split_part(preq, '://', 2), '/', 1)) + 1) AS path
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT doc_id, url_raw, query, scheme, path,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(lower(hostport), ':443$', '')
+        |         WHEN scheme = 'http'  THEN regexp_replace(lower(hostport), ':80$', '')
+        |         ELSE lower(hostport) END AS host
+        |  FROM p3),
+        |p5 AS (
+        |  SELECT doc_id, url_raw, scheme, host, path,
+        |    array_to_string(list_sort(string_split(query, '&')), '&') AS sortedq
+        |  FROM p4)
+        |SELECT doc_id, url_raw,
+        |  scheme || '://' || host || path ||
+        |  (CASE WHEN sortedq = '' THEN '' ELSE '?' || sortedq END) AS url
+        |FROM p5 ORDER BY doc_id""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
