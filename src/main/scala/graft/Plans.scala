@@ -158,6 +158,32 @@ object Plans {
             "doc_id", "text", k = 3)
         }),
 
+      ("wordcloud/keyword top-k: token total folded in-plan",
+        """Must hold: exactly ONE documents FileScan — the token total is
+          |sum(cnt) over an unbounded window above the ALREADY-AGGREGATED
+          |vocabulary (every token lands in one group, so the sum of group
+          |counts IS the token total), replacing the round-4 driver-side
+          |toks.count() second scan. The SinglePartition exchange the
+          |window needs sees one row per distinct word, never token
+          |grain.""".stripMargin,
+        SparkEntry.queries("wordcloud_top10")(spark, sf)),
+
+      ("url canonicalization: pure-codegen dedup key",
+        """Must hold: every normalization step (fragment drop, scheme/host
+          |lowercase, default-port strip, query-param sort) is a codegen
+          |column expression over ONE scan — no UDF, no eval-python; the
+          |whole projection can run inside the scan stage of a url-level
+          |dedup.""".stripMargin,
+        SparkEntry.queries("url_canonical")(spark, sf)),
+
+      ("ann_recall: persisted brute-force ground truth",
+        """Must hold: the brute-force top-k (a full corpus scan — the
+          |heaviest job in the bench) materializes ONCE: the recall rows
+          |read InMemoryTableScan of the persisted Q x k ground-truth
+          |table instead of recomputing the scan per semi-join (the
+          |round-4 form ran it 4x).""".stripMargin,
+        SparkEntry.queries("ann_recall")(spark, sf)),
+
       ("Checkpoint output read with bucket pruning",
         """Must hold: PartitionFilters prunes to the requested bucket —
           |a resume run reads only the partitions it recomputes.""".stripMargin,
