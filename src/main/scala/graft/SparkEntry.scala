@@ -554,6 +554,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // URL-level dedup — canonicalization as the dedup KEY: raw forms
+    // that differ only in host case / explicit default port / fragment /
+    // query-param order collapse to one canonical url; keep the smallest
+    // doc_id as canonical. Path is doc_id % 50 so ~10 raw variants share
+    // each canonical key. One hash aggregate on the (short) canonical
+    // string — the url-grain first pass before any content hashing.
+    "url_dedup" -> ((s, dir) => {
+      val raw = concat(lit("https://"),
+        when(col("doc_id") % 2 === 0, "WWW.Example").otherwise("www.example"),
+        (col("doc_id") % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 2 === 0, ":443").otherwise(""),
+        lit("/path/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?b=2&a=1"))
+          .when(col("doc_id") % 3 === 1, lit("?a=1&b=2"))
+          .otherwise(lit("?a=1&b=2")),
+        when(col("doc_id") % 4 === 0, lit("#Frag")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ops.UrlNorm.canonicalizeUrl(raw).as("url"))
+        .groupBy(col("url"))
+        .agg(min(col("doc_id")).as("canonical_doc_id"),
+          count(lit(1)).as("n_variants"))
+        .orderBy(col("url"))
+    }),
+
     // S2 base64 ingest: payloads arrive base64-encoded (Lambda body
     // path); unbase64 decode must reproduce the binary-column results
     "extract_base64" -> ((s, dir) => {
@@ -1011,6 +1035,50 @@ object SparkEntry {
         |  scheme || '://' || host || path ||
         |  (CASE WHEN sortedq = '' THEN '' ELSE '?' || sortedq END) AS url
         |FROM p5 ORDER BY doc_id""".stripMargin,
+
+    // url-grain dedup over the canonical key; the collision-rich raw
+    // construction (host case / default port / fragment / param order
+    // vary, path is doc_id % 50) mirrors the Spark side exactly
+    "url_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'https://'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example' ELSE 'www.example' END)
+        |    || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+        |    || '/path/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '#Frag' ELSE '' END) AS u
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, split_part(u, '#', 1) AS nofrag FROM raw),
+        |p2 AS (
+        |  SELECT doc_id, split_part(nofrag, '?', 1) AS preq,
+        |    CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2)
+        |         ELSE '' END AS query
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT doc_id, query,
+        |    lower(split_part(preq, '://', 1)) AS scheme,
+        |    split_part(split_part(preq, '://', 2), '/', 1) AS hostport,
+        |    substr(split_part(preq, '://', 2),
+        |      length(split_part(split_part(preq, '://', 2), '/', 1)) + 1) AS path
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT doc_id, query, scheme, path,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(lower(hostport), ':443$', '')
+        |         WHEN scheme = 'http'  THEN regexp_replace(lower(hostport), ':80$', '')
+        |         ELSE lower(hostport) END AS host
+        |  FROM p3),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host || path ||
+        |    (CASE WHEN array_to_string(list_sort(string_split(query, '&')), '&') = ''
+        |          THEN ''
+        |          ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+        |     END) AS url
+        |  FROM p4)
+        |SELECT url, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_variants
+        |FROM canon GROUP BY url ORDER BY url""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
