@@ -578,6 +578,27 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // frame-sampling integration: the REAL parsed container duration
+    // (Mp4Meta) drives the sampling fan-out — one row per everyMs up to
+    // the mvhd duration; the frame payload slice is the one stubbed step
+    // (no JDK video codec). n_frames per id == durationMs / 500.
+    "video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(0, 12).as[Long].map { i =>
+        val payload = ops.Mp4Meta.synthMp4(1000L, 1000L + (i % 5) * 700L,
+          Seq(("vide", "avc1", 320, 240)))
+        val meta = ops.Mp4Meta.parse(payload)
+        ops.Multimodal.MediaRow(i, payload,
+          ops.Multimodal.MediaMeta("video/mp4", 320, 240, 1, meta.durationMs))
+      }
+      ops.Multimodal.sampleFrames(media, everyMs = 500L)
+        .toDF()
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_frames"), max(col("tsMs")).as("last_ts_ms"),
+          sum(length(col("payload"))).cast("long").as("sliced_bytes"))
+        .orderBy(col("id"))
+    }),
+
     // S2 base64 ingest: payloads arrive base64-encoded (Lambda body
     // path); unbase64 decode must reproduce the binary-column results
     "extract_base64" -> ((s, dir) => {
