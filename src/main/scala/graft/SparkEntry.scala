@@ -599,6 +599,21 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // sequence packing (concat-and-chunk, GPT-style pretraining batches):
+    // the DISTRIBUTED two-pass prefix sum (per-partition totals →
+    // broadcast offsets → partition-local scan, no single-partition
+    // window) must reproduce the exact sequential cumsum — the DuckDB
+    // twin computes it with an ordered window, so a green row certifies
+    // the distributed scan, not merely that rows landed. Cost unit is
+    // chars + 1 separator; context window 2048.
+    "packing_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+      ops.Packing.concatChunkPack(docs, "doc_id", "n_chars",
+          contextLen = 2048L, sepTokens = 1L)
+        .orderBy(col("doc_id"))
+    }),
+
     // S2 base64 ingest: payloads arrive base64-encoded (Lambda body
     // path); unbase64 decode must reproduce the binary-column results
     "extract_base64" -> ((s, dir) => {
@@ -1056,6 +1071,26 @@ object SparkEntry {
         |  scheme || '://' || host || path ||
         |  (CASE WHEN sortedq = '' THEN '' ELSE '?' || sortedq END) AS url
         |FROM p5 ORDER BY doc_id""".stripMargin,
+
+    // sequential window cumsum — the independent ground truth for the
+    // distributed two-pass prefix sum in Packing.concatChunkPack
+    "packing_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(length(text) + 1 AS BIGINT) AS padded_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, padded_tokens,
+        |    CAST(COALESCE(SUM(padded_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM t)
+        |SELECT doc_id, padded_tokens, start_offset,
+        |  start_offset // 2048 AS chunk_id,
+        |  start_offset % 2048 AS offset_in_chunk,
+        |  CAST(CASE WHEN start_offset // 2048 !=
+        |    (start_offset + padded_tokens - 1) // 2048 THEN 1 ELSE 0 END AS INT)
+        |    AS spans_boundary
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // url-grain dedup over the canonical key; the collision-rich raw
     // construction (host case / default port / fragment / param order
