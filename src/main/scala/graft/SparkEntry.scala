@@ -614,6 +614,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-domain curation stats — the domain-mix report every curation
+    // pipeline runs (host = group key, doc count + byte mass per
+    // domain); same deterministic raw-url construction as url_dedup
+    "domain_stats" -> ((s, dir) => {
+      val raw = concat(lit("https://"),
+        when(col("doc_id") % 2 === 0, "WWW.Example").otherwise("www.example"),
+        (col("doc_id") % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 2 === 0, ":443").otherwise(""),
+        lit("/path/"), (col("doc_id") % 50).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ops.UrlNorm.hostOf(raw).as("host"),
+          length(col("text")).cast("long").as("n_chars"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("host"))
+    }),
+
     // S2 base64 ingest: payloads arrive base64-encoded (Lambda body
     // path); unbase64 decode must reproduce the binary-column results
     "extract_base64" -> ((s, dir) => {
@@ -1091,6 +1110,26 @@ object SparkEntry {
         |    (start_offset + padded_tokens - 1) // 2048 THEN 1 ELSE 0 END AS INT)
         |    AS spans_boundary
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // domain-mix roll-up over the independently-extracted host
+    "domain_stats" ->
+      """WITH raw AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    'https://'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example' ELSE 'www.example' END)
+        |    || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+        |    || '/path/' || CAST(doc_id % 50 AS VARCHAR) AS u
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_chars,
+        |    lower(split_part(split_part(split_part(split_part(
+        |      split_part(u, '#', 1), '?', 1), '://', 2), '/', 1), ':', 1)) AS host
+        |  FROM raw)
+        |SELECT host, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS first_doc
+        |FROM h GROUP BY host ORDER BY host""".stripMargin,
 
     // url-grain dedup over the canonical key; the collision-rich raw
     // construction (host case / default port / fragment / param order

@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object UrlNorm {
 
+  /** Lowercased host without port — the grouping/partition key for
+    * per-domain curation stats (domain mix, per-domain quality, crawl
+    * budgets). Strips any port (a grouping key wants the registrable
+    * host, not the endpoint). Pure column expressions, codegen. */
+  def hostOf(url: Column): Column = {
+    val preQ = substring_index(substring_index(url, "#", 1), "?", 1)
+    val hostPort = substring_index(substring_index(preQ, "://", -1), "/", 1)
+    lower(substring_index(hostPort, ":", 1))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     // 1. fragment off
     val noFrag = substring_index(url, "#", 1)

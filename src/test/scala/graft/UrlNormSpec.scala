@@ -38,6 +38,12 @@ class UrlNormSpec extends AnyFunSuite {
     assert(canon(once.head) == once)
   }
 
+  test("hostOf: lowercased host, any port stripped, query/fragment ignored") {
+    val hosts = Seq("HTTPS://WWW.Ex.COM:8443/p?a=1#f", "http://h.io/x", "https://A.B:443")
+      .toDF("u").select(UrlNorm.hostOf(col("u")).as("h")).as[String].collect().toSeq
+    assert(hosts == Seq("www.ex.com", "h.io", "a.b"))
+  }
+
   test("stays codegen: no UDF in the plan") {
     val df = Seq("https://h.io/p?b=2&a=1").toDF("u")
       .select(UrlNorm.canonicalizeUrl(col("u")).as("c"))
