@@ -176,6 +176,22 @@ object Plans {
           |dedup.""".stripMargin,
         SparkEntry.queries("url_canonical")(spark, sf)),
 
+      ("pii redaction: map-only codegen scrub",
+        """Must hold: counts (regexp_count) and the sequential
+          |email->phone->IP regexp_replace chain are ONE codegen
+          |projection over ONE scan — no UDF, no extra pass; at 100 TB
+          |the scrub rides the scan for free and the audit roll-up is a
+          |map-side-combined aggregate downstream.""".stripMargin,
+        SparkEntry.queries("pii_redact")(spark, sf)),
+
+      ("curation funnel: one scan, digest-keyed dedup window",
+        """Must hold: gopher flags, the dedup rank, and the stratified
+          |keep decision all derive from ONE documents scan; the only
+          |exchange is hashpartitioning on the 32-byte sha-256 digest
+          |(never the text column), and the 4-stage report is a single
+          |stack over one aggregate row.""".stripMargin,
+        SparkEntry.queries("curation_funnel")(spark, sf)),
+
       ("ann_recall: persisted brute-force ground truth",
         """Must hold: the brute-force top-k (a full corpus scan — the
           |heaviest job in the bench) materializes ONCE: the recall rows

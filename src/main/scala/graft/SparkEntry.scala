@@ -633,6 +633,88 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // PII redaction audit — emails/phones/IPv4 scrubbed to typed tokens
+    // with per-type counts (ops.Pii: pure regexp column exprs, codegen,
+    // map-only). The PII is synthesized deterministically from doc_id
+    // IDENTICALLY on both sides, so the DuckDB twin checks the regex
+    // semantics and the sequential email→phone→IP redaction order
+    // themselves, not just that rows landed.
+    "pii_redact" -> ((s, dir) => {
+      val piiText = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 5).cast("string"),
+        lit(".org call +1-555-"),
+        (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+        (col("doc_id") % 9000 + 1000).cast("string"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 200).cast("string"), lit(" end"))
+      ops.Pii.withPiiRedacted(
+          t(s, dir, "documents").select(col("doc_id"), piiText.as("pii_text")),
+          "pii_text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ipv4"), col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic md5-bucket train/val/test assignment — stable across
+    // runs, partitionings, and engines (rand() would leak eval docs into
+    // training between pipeline versions); per-row oracle so the twin
+    // certifies every single assignment, not a count.
+    "split_assign" -> ((s, dir) => {
+      ops.Splits.withSplit(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic stratified rebalance — downsample the dominant
+    // language (en keeps 64/256 = 25%) with a salted hash so the keep
+    // decision is a pure function of the key, decorrelated from split
+    // assignment; per-lang kept-doc_id checksum proves WHICH docs
+    // survive, not just how many.
+    "stratified_sample" -> ((s, dir) => {
+      val thr = when(col("lang") === "en", 64).otherwise(256)
+      t(s, dir, "documents")
+        .withColumn("keep", ops.Splits.stratifiedKeep(col("doc_id"), thr))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("doc_id")).otherwise(0L)).cast("long")
+            .as("kept_checksum"))
+        .orderBy(col("lang"))
+    }),
+
+    // end-to-end curation funnel — the composition every training-data
+    // pipeline runs: gopher shape filter → exact dedup (first-kept per
+    // sha-256 digest, among survivors) → stratified language rebalance.
+    // One scan + one window shuffle on the 32-byte digest (never the
+    // text), then a single 4-stage stack report; the per-stage doc_id
+    // checksum makes the oracle certify WHICH docs survive each stage.
+    "curation_funnel" -> ((s, dir) => {
+      val thr = when(col("lang") === "en", 64).otherwise(256)
+      val w = Window.partitionBy(col("digest"))
+      val flagged = Quality.withGopherColumns(t(s, dir, "documents"))
+        .withColumn("digest", sha2(col("text"), 256))
+        .withColumn("keep1", col("gopher_keep"))
+        .withColumn("first_kept", min(when(col("keep1"), col("doc_id"))).over(w))
+        .withColumn("keep2", col("keep1") && col("doc_id") === col("first_kept"))
+        .withColumn("keep3",
+          col("keep2") && ops.Splits.stratifiedKeep(col("doc_id"), thr))
+      flagged.agg(
+          count(lit(1)).as("n0"), sum(col("doc_id")).cast("long").as("c0"),
+          sum(when(col("keep1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("keep1"), col("doc_id")).otherwise(0L)).cast("long").as("c1"),
+          sum(when(col("keep2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("keep2"), col("doc_id")).otherwise(0L)).cast("long").as("c2"),
+          sum(when(col("keep3"), 1L).otherwise(0L)).as("n3"),
+          sum(when(col("keep3"), col("doc_id")).otherwise(0L)).cast("long").as("c3"))
+        .select(expr(
+          "stack(4, 0, 'ingest', n0, c0, 1, 'gopher_filter', n1, c1, " +
+          "2, 'exact_dedup', n2, c2, 3, 'stratified_sample', n3, c3) " +
+          "as (stage_id, stage, n_docs, doc_checksum)"))
+        .orderBy(col("stage_id"))
+    }),
+
     // S2 base64 ingest: payloads arrive base64-encoded (Lambda body
     // path); unbase64 decode must reproduce the binary-column results
     "extract_base64" -> ((s, dir) => {
@@ -1048,6 +1130,117 @@ object SparkEntry {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    // independent RE2 re-implementation of ops.Pii over the
+    // identically-synthesized PII text (counts over the original text;
+    // sequential email -> phone -> IPv4 redaction)
+    "pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.org call +1-555-'
+        |    || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+        |    || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.0.' || CAST(doc_id % 200 AS VARCHAR) || ' end' AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // independent md5-bucket recomputation (strpos arithmetic instead of
+    // Spark's conv) — certifies every per-row assignment
+    "split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST((strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 208 THEN 'train'
+        |       WHEN bucket < 232 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // salted-bucket stratified keep, per-lang roll-up with kept-doc
+    // checksum
+    "stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    (strpos('0123456789abcdef',
+        |        substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |        substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang,
+        |    bucket < (CASE WHEN lang = 'en' THEN 64 ELSE 256 END) AS keep
+        |  FROM b)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // full independent funnel: gopher signals re-derived as in the
+    // quality_gopher twin, dedup as a window over the raw text (same
+    // equivalence classes as the Spark side's sha-256 digest), stratified
+    // keep via the salted md5 bucket
+    "curation_funnel" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w != '')) AS INT) AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nonws_chars,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS lines,
+        |    length(text) - length(replace(text, '#', '')) AS hash_chars,
+        |    length(text) - length(replace(text, '...', '')) AS ell_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, text,
+        |    (n_words >= 50 AND n_words <= 100000
+        |     AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(nonws_chars AS DOUBLE) / n_words END) >= 3.0
+        |     AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(nonws_chars AS DOUBLE) / n_words END) <= 10.0
+        |     AND (CASE WHEN len(lines) = 0 THEN 1.0 ELSE CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END) >= 0.7
+        |     AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(hash_chars + ell_chars / 3 AS DOUBLE) / n_words END) <= 0.1) AS keep1
+        |  FROM g0),
+        |d AS (
+        |  SELECT doc_id, lang, keep1,
+        |    MIN(CASE WHEN keep1 THEN doc_id END) OVER (PARTITION BY text) AS first_kept
+        |  FROM g),
+        |k AS (
+        |  SELECT doc_id, keep1,
+        |    (keep1 AND doc_id = first_kept) AS keep2,
+        |    (keep1 AND doc_id = first_kept
+        |     AND (strpos('0123456789abcdef',
+        |         substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |       + strpos('0123456789abcdef',
+        |         substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+        |       < (CASE WHEN lang = 'en' THEN 64 ELSE 256 END)) AS keep3
+        |  FROM d),
+        |a AS (
+        |  SELECT COUNT(*) AS n0, CAST(SUM(doc_id) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN keep1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN keep1 THEN doc_id ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN keep2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN keep2 THEN doc_id ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN keep3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(SUM(CASE WHEN keep3 THEN doc_id ELSE 0 END) AS BIGINT) AS c3
+        |  FROM k)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_id, 'ingest' AS stage, n0 AS n_docs, c0 AS doc_checksum FROM a
+        |  UNION ALL SELECT 1, 'gopher_filter', n1, c1 FROM a
+        |  UNION ALL SELECT 2, 'exact_dedup', n2, c2 FROM a
+        |  UNION ALL SELECT 3, 'stratified_sample', n3, c3 FROM a)
+        |ORDER BY stage_id""".stripMargin,
 
     // independent re-implementation of UrlNorm.canonicalizeUrl in
     // DuckDB SQL over the identically-synthesized raw URLs

@@ -185,6 +185,39 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("pii/split/sample are map-only codegen column expressions (no UDF)") {
+    // the scrub and the split decision must be free riders on the scan
+    // projection at 100 TB: one FileScan, zero UDFs, inside codegen
+    for (name <- Seq("pii_redact", "split_assign", "stratified_sample")) {
+      val q = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      assert("FileScan".r.findAllIn(finalPlans(q).head.toString).length == 1,
+        s"$name: one documents scan expected")
+      q.collect()
+      val planStr = finalPlans(q).map(_.toString).mkString("\n")
+      assert(!planStr.contains("ScalaUDF") && !planStr.contains("BatchEvalPython"),
+        s"$name must stay pure column expressions:\n${planStr.take(2000)}")
+      assert(planStr.contains("*("),
+        s"$name must run inside whole-stage codegen")
+    }
+  }
+
+  test("curation_funnel: one documents scan; dedup shuffles the digest, not text") {
+    val q = SparkEntry.queries("curation_funnel")(spark, "/root/testdata/sf0.001")
+    // single pass: all three stage flags compute over ONE scan
+    assert("FileScan".r.findAllIn(finalPlans(q).head.toString).length == 1,
+      "funnel must compute all stage flags from one documents scan")
+    q.collect()
+    val planStr = finalPlans(q).map(_.toString).mkString("\n")
+    // the only wide dependency is the dedup window, keyed on the 32-byte
+    // sha-256 digest — never the document text
+    assert(planStr.contains("hashpartitioning(digest"),
+      s"dedup window must partition by digest:\n${planStr.take(2000)}")
+    assert(!planStr.contains("hashpartitioning(text"),
+      "document text must never be a shuffle key")
+    assert(!planStr.contains("ScalaUDF"),
+      "funnel stages must stay pure column expressions")
+  }
+
   test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
     val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(df).map(_.toString).mkString("\n")
