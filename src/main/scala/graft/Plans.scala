@@ -192,6 +192,16 @@ object Plans {
           |stack over one aggregate row.""".stripMargin,
         SparkEntry.queries("curation_funnel")(spark, sf)),
 
+      ("paragraph dedup: hash-keyed first-seen window",
+        """Must hold: one documents scan; the first-seen window
+          |partitions on the 8-byte xxhash64 of the paragraph (each
+          |paragraph string crosses the wire once, with its (id, pos)
+          |coordinate — raw text is never a shuffle key); reassembly is
+          |the only other exchange, keyed on doc_id. At 100 TB stage 2
+          |drops and kept paragraphs write straight from the flag
+          |view.""".stripMargin,
+        SparkEntry.queries("para_dedup")(spark, sf)),
+
       ("ann_recall: persisted brute-force ground truth",
         """Must hold: the brute-force top-k (a full corpus scan — the
           |heaviest job in the bench) materializes ONCE: the recall rows

@@ -715,6 +715,27 @@ object SparkEntry {
         .orderBy(col("stage_id"))
     }),
 
+    // paragraph-grain exact dedup (CCNet-style) — cross-doc boilerplate
+    // removal that doc-grain dedup can't see. Paragraph boundaries are
+    // synthesized deterministically on BOTH sides (documents.text has no
+    // newlines): a per-doc head slice, a 7-way shared boilerplate block,
+    // a tail slice, and an even-doc-only footer — so the oracle certifies
+    // the first-seen semantics AND the in-order reassembly, per row.
+    "para_dedup" -> ((s, dir) => {
+      val sep = lit(ops.ParaDedup.DefaultSep)
+      val ptext = concat(
+        substring(col("text"), 1, 60), sep,
+        lit("shared boilerplate paragraph "),
+        (col("doc_id") % 7).cast("string"), sep,
+        substring(col("text"), 61, 80),
+        when(col("doc_id") % 2 === 0, concat(sep, lit("even-doc footer")))
+          .otherwise(lit("")))
+      ops.ParaDedup.dedupParagraphs(
+          t(s, dir, "documents").select(col("doc_id"), ptext.as("ptext")),
+          "doc_id", "ptext")
+        .orderBy(col("doc_id"))
+    }),
+
     // S2 base64 ingest: payloads arrive base64-encoded (Lambda body
     // path); unbase64 decode must reproduce the binary-column results
     "extract_base64" -> ((s, dir) => {
@@ -1130,6 +1151,40 @@ object SparkEntry {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    // independent paragraph-dedup re-implementation: same synthesized
+    // paragraph text, but DuckDB keys the first-seen window on the RAW
+    // paragraph string (hash-free ground truth — same equivalence
+    // classes as Spark's xxhash64 key) and reassembles via an ordered
+    // string_agg
+    "para_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) || chr(10) || chr(10)
+        |    || 'shared boilerplate paragraph ' || CAST(doc_id % 7 AS VARCHAR)
+        |    || chr(10) || chr(10) || substr(text, 61, 80)
+        |    || CASE WHEN doc_id % 2 = 0
+        |            THEN chr(10) || chr(10) || 'even-doc footer' ELSE '' END
+        |      AS ptext
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id,
+        |    UNNEST(generate_series(1, len(paras))) - 1 AS pos,
+        |    UNNEST(paras) AS para
+        |  FROM (SELECT doc_id,
+        |          string_split(ptext, chr(10) || chr(10)) AS paras
+        |        FROM p)),
+        |flags AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+        |      AS kept
+        |  FROM ex)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_paras,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN kept THEN para END,
+        |    chr(10) || chr(10) ORDER BY pos), '') AS cleaned
+        |FROM flags GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // independent RE2 re-implementation of ops.Pii over the
     // identically-synthesized PII text (counts over the original text;

@@ -218,6 +218,21 @@ class PlanQualitySpec extends AnyFunSuite {
       "funnel stages must stay pure column expressions")
   }
 
+  test("para_dedup: first-seen window keys on the paragraph hash, never raw text") {
+    val q = SparkEntry.queries("para_dedup")(spark, "/root/testdata/sf0.001")
+    assert("FileScan".r.findAllIn(finalPlans(q).head.toString).length == 1,
+      "paragraph dedup must read documents once")
+    q.collect()
+    val planStr = finalPlans(q).map(_.toString).mkString("\n")
+    assert(planStr.contains("hashpartitioning(para_hash"),
+      s"dedup window must partition by the 8-byte paragraph hash:\n${planStr.take(2000)}")
+    assert(!planStr.contains("hashpartitioning(para,")
+        && !planStr.contains("hashpartitioning(ptext"),
+      "raw paragraph/document text must never be a shuffle key")
+    assert(!planStr.contains("ScalaUDF"),
+      "paragraph dedup must stay pure column expressions")
+  }
+
   test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
     val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(df).map(_.toString).mkString("\n")
