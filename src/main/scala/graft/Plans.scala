@@ -202,6 +202,19 @@ object Plans {
           |view.""".stripMargin,
         SparkEntry.queries("para_dedup")(spark, sf)),
 
+      ("bigram LM scoring: vocab-bounded model, order-free integer sum",
+        """Must hold: training is ONE grouping-sets pass — bigram and
+          |head counts share a scan and a map-side-combined shuffle of
+          |(word[,word], count) rows (vocab-bounded, tiny next to the
+          |corpus) — whose persisted model feeds all three consumers;
+          |the smoothing vocab size joins as a broadcast 1-row cross
+          |join (never a driver-side collect, never a cartesian);
+          |scoring is an equi-join of the bigram stream against the
+          |model; per-term log-probs quantize to integer micro-nats so
+          |the per-doc sum is summation-order-free at any
+          |partitioning.""".stripMargin,
+        SparkEntry.queries("lm_score")(spark, sf)),
+
       ("ann_recall: persisted brute-force ground truth",
         """Must hold: the brute-force top-k (a full corpus scan — the
           |heaviest job in the bench) materializes ONCE: the recall rows

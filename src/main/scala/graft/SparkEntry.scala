@@ -736,6 +736,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus-trained bigram LM scoring (CCNet-style quality signal):
+    // train add-one-smoothed bigram counts (head-count denominator) on
+    // the even-doc reference subset in ONE grouping-sets pass, score
+    // EVERY doc by average bigram log-prob under it.
+    // Per-term log-probs quantize to integer micro-nats so the sum is
+    // order-free and the oracle certifies it byte-exactly.
+    "lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = docs.where(col("doc_id") % 2 === 0)
+      ops.NgramLm.scoreDocs(docs, ref, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // S2 base64 ingest: payloads arrive base64-encoded (Lambda body
     // path); unbase64 decode must reproduce the binary-column results
     "extract_base64" -> ((s, dir) => {
@@ -1151,6 +1164,46 @@ object SparkEntry {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    // independent bigram-LM re-implementation: tokenize, train add-one
+    // counts on even docs, score all docs; micro-nat quantization
+    // (floor(1e6*ln p) summed as BIGINT) makes the sum order-free
+    "lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t != '') AS ts
+        |  FROM documents),
+        |train_bg AS (
+        |  SELECT w1, w2, COUNT(*) AS c2 FROM (
+        |    SELECT UNNEST(ts[1:len(ts)-1]) AS w1,
+        |           UNNEST(ts[2:len(ts)]) AS w2
+        |    FROM toks WHERE doc_id % 2 = 0 AND len(ts) >= 2)
+        |  GROUP BY w1, w2),
+        |train_ug AS (
+        |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM train_bg
+        |  GROUP BY w1),
+        |v AS (SELECT COUNT(*) AS vocab FROM train_ug),
+        |score_bg AS (
+        |  SELECT doc_id, UNNEST(ts[1:len(ts)-1]) AS w1,
+        |         UNNEST(ts[2:len(ts)]) AS w2
+        |  FROM toks WHERE len(ts) >= 2),
+        |j AS (
+        |  SELECT s.doc_id,
+        |    CAST(COALESCE(b.c2, 0) + 1 AS DOUBLE)
+        |      / CAST(COALESCE(u.c1, 0) + v.vocab AS DOUBLE) AS p,
+        |    b.c2 IS NULL AS oov
+        |  FROM score_bg s
+        |  LEFT JOIN train_bg b ON s.w1 = b.w1 AND s.w2 = b.w2
+        |  LEFT JOIN train_ug u ON s.w1 = u.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CAST(floor(ln(p) * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_lp_micro,
+        |  CAST(SUM(CAST(floor(ln(p) * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / COUNT(*) / 1000000.0 AS avg_logprob
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // independent paragraph-dedup re-implementation: same synthesized
     // paragraph text, but DuckDB keys the first-seen window on the RAW

@@ -233,6 +233,25 @@ class PlanQualitySpec extends AnyFunSuite {
       "paragraph dedup must stay pure column expressions")
   }
 
+  test("lm_score: vocab-bounded model joins, no cartesian product, no UDF") {
+    val q = SparkEntry.queries("lm_score")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    // AdaptiveSparkPlan.toString appends an "== Initial Plan ==" section
+    // that duplicates every node — gate on the final plan only
+    val planStr = finalPlans(q).head.toString.split("== Initial Plan ==").head
+    // training is ONE grouping-sets pass whose persisted model feeds the
+    // bigram join, the head join, and the vocab aggregate; scoring is
+    // one more pass — so the whole query reads documents at most twice
+    assert("FileScan".r.findAllIn(planStr).length <= 2,
+      s"LM must train in one pass and score in one:\n${planStr.take(3000)}")
+    assert(planStr.contains("InMemoryTableScan"),
+      "model consumers must read the persisted one-pass model")
+    assert(!planStr.contains("CartesianProduct"),
+      "the 1-row vocab must join as a broadcast, never a cartesian")
+    assert(!planStr.contains("ScalaUDF"),
+      "LM scoring must stay pure column expressions")
+  }
+
   test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
     val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(df).map(_.toString).mkString("\n")
