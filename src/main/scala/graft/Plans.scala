@@ -215,6 +215,14 @@ object Plans {
           |partitioning.""".stripMargin,
         SparkEntry.queries("lm_score")(spark, sf)),
 
+      ("snapshot delta: digest-only full-outer diff",
+        """Must hold: one full-outer shuffle join on the key; each side
+          |carries only (key, 32-byte digest) computed in the scan
+          |projection — document text never moves; classification is a
+          |pure column expression. This is what lets a 100 TB pipeline
+          |reprocess only added/changed rows each crawl cycle.""".stripMargin,
+        SparkEntry.queries("snapshot_delta")(spark, sf)),
+
       ("ann_recall: persisted brute-force ground truth",
         """Must hold: the brute-force top-k (a full corpus scan — the
           |heaviest job in the bench) materializes ONCE: the recall rows

@@ -749,6 +749,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental snapshot delta — diff a new crawl against the previous
+    // snapshot by digest so only added/changed rows reprocess. Snapshots
+    // are synthesized deterministically from documents on BOTH sides:
+    // old = docs except doc_id%10==0 (those become "added"), with text
+    // revised for doc_id%7==3 ("changed"); new = docs except doc_id%10==5
+    // ("removed"). Per-row status oracle.
+    "snapshot_delta" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val old = base.where(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")))
+      val neu = base.where(col("doc_id") % 10 =!= 5)
+      ops.Snapshot.delta(
+          old.select(col("doc_id"), sha2(col("text"), 256).as("digest")),
+          neu.select(col("doc_id"), sha2(col("text"), 256).as("digest")),
+          "doc_id", "digest")
+        .select(col("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
+    }),
+
     // S2 base64 ingest: payloads arrive base64-encoded (Lambda body
     // path); unbase64 decode must reproduce the binary-column results
     "extract_base64" -> ((s, dir) => {
@@ -1164,6 +1185,24 @@ object SparkEntry {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    // independent snapshot-delta twin: DuckDB diffs the same synthesized
+    // snapshots on the RAW text (same equivalence classes as the Spark
+    // side's sha-256 digest)
+    "snapshot_delta" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN text || ' v1' ELSE text END AS t
+        |  FROM documents WHERE doc_id % 10 != 0),
+        |neu AS (
+        |  SELECT doc_id, text AS t FROM documents WHERE doc_id % 10 != 5)
+        |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+        |  CASE WHEN old.doc_id IS NULL THEN 'added'
+        |       WHEN neu.doc_id IS NULL THEN 'removed'
+        |       WHEN old.t = neu.t THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // independent bigram-LM re-implementation: tokenize, train add-one
     // counts on even docs, score all docs; micro-nat quantization

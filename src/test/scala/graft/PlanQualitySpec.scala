@@ -252,6 +252,19 @@ class PlanQualitySpec extends AnyFunSuite {
       "LM scoring must stay pure column expressions")
   }
 
+  test("snapshot_delta: one join on the key; digests shuffle, text never does") {
+    val q = SparkEntry.queries("snapshot_delta")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val planStr = finalPlans(q).head.toString.split("== Initial Plan ==").head
+    assert(!planStr.contains("hashpartitioning(text")
+        && !planStr.contains("hashpartitioning(t,"),
+      "snapshot diff must shuffle (key, digest) rows only")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(planStr).length <= 1,
+      s"delta is ONE full-outer join on the key:\n${planStr.take(2000)}")
+    assert(!planStr.contains("ScalaUDF"),
+      "classification must stay pure column expressions")
+  }
+
   test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
     val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(df).map(_.toString).mkString("\n")
