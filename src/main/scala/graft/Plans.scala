@@ -223,6 +223,14 @@ object Plans {
           |reprocess only added/changed rows each crawl cycle.""".stripMargin,
         SparkEntry.queries("snapshot_delta")(spark, sf)),
 
+      ("host cap: WindowGroupLimit rank-filter pushdown",
+        """Must hold: the row_number<=k filter rewrites into
+          |WindowGroupLimit so every map task pre-prunes to its local
+          |top-k PER HOST before the exchange — a mega-host with 10^8
+          |docs ships k*numPartitions candidate rows, not 10^8; the
+          |window equivalent of a map-side combine.""".stripMargin,
+        SparkEntry.queries("host_cap")(spark, sf)),
+
       ("ann_recall: persisted brute-force ground truth",
         """Must hold: the brute-force top-k (a full corpus scan — the
           |heaviest job in the bench) materializes ONCE: the recall rows

@@ -633,6 +633,42 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // per-host document cap (domain rate limiting): keep the 20 longest
+    // docs per host (doc_id breaks ties totally); written as
+    // row_number<=k so Catalyst plans a WindowGroupLimit — map tasks
+    // pre-prune to local top-k per host before the shuffle
+    "host_cap" -> ((s, dir) => {
+      val raw = concat(lit("https://www.example"),
+        (col("doc_id") % 7).cast("string"), lit(".com/path/"),
+        col("doc_id").cast("string"))
+      ops.HostCap.capPerHost(
+          t(s, dir, "documents")
+            .select(col("doc_id"), ops.UrlNorm.hostOf(raw).as("host"),
+              length(col("text")).cast("long").as("n_chars")),
+          "host", 20,
+          col("n_chars").desc, col("doc_id").asc)
+        .select(col("doc_id"), col("host"), col("n_chars"),
+          col("host_rank").cast("long").as("host_rank"))
+        .orderBy(col("host"), col("host_rank"))
+    }),
+
+    // per-language length deciles — corpus shape report for curation
+    // dashboards; ntile over a TOTAL order (length, doc_id) so bucket
+    // boundaries are deterministic on any engine
+    "lang_deciles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("decile"))
+    }),
+
     // PII redaction audit — emails/phones/IPv4 scrubbed to typed tokens
     // with per-type counts (ops.Pii: pure regexp column exprs, codegen,
     // map-only). The PII is synthesized deterministically from doc_id
@@ -1185,6 +1221,36 @@ object SparkEntry {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    // per-host cap twin: same synthesized hosts, same total order
+    "host_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, host, n_chars,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY n_chars DESC, doc_id) AS host_rank
+        |  FROM d)
+        |SELECT doc_id, host, n_chars, host_rank
+        |FROM r WHERE host_rank <= 20
+        |ORDER BY host, host_rank""".stripMargin,
+
+    // per-language decile twin: ntile over the identical total order
+    "lang_deciles" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |n AS (
+        |  SELECT lang, n_chars,
+        |    ntile(10) OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS decile
+        |  FROM d)
+        |SELECT lang, decile, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM n GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
 
     // independent snapshot-delta twin: DuckDB diffs the same synthesized
     // snapshots on the RAW text (same equivalence classes as the Spark

@@ -265,6 +265,17 @@ class PlanQualitySpec extends AnyFunSuite {
       "classification must stay pure column expressions")
   }
 
+  test("host_cap plans a WindowGroupLimit (map-side top-k before the shuffle)") {
+    val q = SparkEntry.queries("host_cap")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val planStr = finalPlans(q).head.toString.split("== Initial Plan ==").head
+    // row_number<=k must rewrite to WindowGroupLimit: a mega-host ships
+    // k candidates per map task, not its whole row set
+    assert(planStr.contains("WindowGroupLimit"),
+      s"rank filter must push into the window as a group limit:\n${planStr.take(2000)}")
+    assert(!planStr.contains("ScalaUDF"))
+  }
+
   test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
     val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(df).map(_.toString).mkString("\n")
