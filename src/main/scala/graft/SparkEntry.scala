@@ -669,6 +669,30 @@ object SparkEntry {
         .orderBy(col("lang"), col("decile"))
     }),
 
+    // Unicode NFC normalization via the native codegen expression
+    // (functions.NfcNormalize — Spark ships no builtin): decomposed
+    // combining sequences and compatibility singletons are synthesized
+    // deterministically on both sides; DuckDB's nfc_normalize is the
+    // independent twin, so the oracle certifies the normalization
+    // itself byte-for-byte.
+    "nfc_normalize" -> ((s, dir) => {
+      graft.functions.GraftExtensions.register(s)
+      val raw = concat(
+        substring(col("text"), 1, 20),
+        when(col("doc_id") % 3 === 0, lit(" éclair"))
+          .when(col("doc_id") % 3 === 1, lit(" angèle"))
+          .otherwise(lit(" plain")),
+        when(col("doc_id") % 5 === 0, lit(" Å")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .withColumn("nfc", graft.functions.NfcNormalize.nfcCol(col("raw")))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("n_chars_raw"),
+          col("nfc"),
+          length(col("nfc")).cast("long").as("n_chars_nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction audit — emails/phones/IPv4 scrubbed to typed tokens
     // with per-type counts (ops.Pii: pure regexp column exprs, codegen,
     // map-only). The PII is synthesized deterministically from doc_id
@@ -1221,6 +1245,24 @@ object SparkEntry {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    // NFC twin: identical synthesized denormalized text; DuckDB's
+    // independent nfc_normalize implementation must agree byte-for-byte
+    "nfc_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 20)
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' e' || chr(769) || 'clair'
+        |            WHEN doc_id % 3 = 1 THEN ' ange' || chr(768) || 'le'
+        |            ELSE ' plain' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(8491)
+        |            ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        |  nfc_normalize(raw) AS nfc,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // per-host cap twin: same synthesized hosts, same total order
     "host_cap" ->

@@ -83,6 +83,7 @@ case class CosineSim(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineEntry)
+    ext.injectFunction(NfcNormalize.entry)
   }
 }
 
@@ -96,8 +97,8 @@ object GraftExtensions {
 
   /** Imperative registration on an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cosineEntry
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    for ((id, info, builder) <- Seq(cosineEntry, NfcNormalize.entry))
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 
   /** Column-API form; requires `register(spark)` (or the extensions

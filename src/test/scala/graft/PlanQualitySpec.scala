@@ -188,7 +188,8 @@ class PlanQualitySpec extends AnyFunSuite {
   test("pii/split/sample are map-only codegen column expressions (no UDF)") {
     // the scrub and the split decision must be free riders on the scan
     // projection at 100 TB: one FileScan, zero UDFs, inside codegen
-    for (name <- Seq("pii_redact", "split_assign", "stratified_sample")) {
+    for (name <- Seq("pii_redact", "split_assign", "stratified_sample",
+                     "nfc_normalize")) {
       val q = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       assert("FileScan".r.findAllIn(finalPlans(q).head.toString).length == 1,
         s"$name: one documents scan expected")
