@@ -693,6 +693,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // C4 line-level cleaning — line boundaries synthesized
+    // deterministically on both sides (documents.text has no newlines):
+    // three prose-shaped lines, a short nav stub, a javascript notice,
+    // a variably-terminated line, plus lorem-ipsum / brace lines on a
+    // doc_id cadence so both per-line and per-doc rules exercise.
+    "c4_clean" -> ((s, dir) => {
+      val nl = lit("\n")
+      val ctext = concat(
+        substring(col("text"), 1, 50), lit("."), nl,
+        lit("this is a perfectly fine prose sentence."), nl,
+        lit("menu"), nl,
+        lit("please enable javascript to view this page."), nl,
+        substring(col("text"), 51, 40),
+        when(col("doc_id") % 4 === 0, lit(" and so it ends."))
+          .otherwise(lit(" no terminal")), nl,
+        substring(col("text"), 91, 40), lit(" closing words."),
+        when(col("doc_id") % 10 === 0,
+          concat(nl, lit("lorem ipsum dolor sit amet."))).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          concat(nl, lit("function f() { return 1; }"))).otherwise(lit("")))
+      ops.C4Clean.cleanLines(
+          t(s, dir, "documents").select(col("doc_id"), ctext.as("ctext")),
+          "ctext")
+        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+          col("c4_keep"), col("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction audit — emails/phones/IPv4 scrubbed to typed tokens
     // with per-type counts (ops.Pii: pure regexp column exprs, codegen,
     // map-only). The PII is synthesized deterministically from doc_id
@@ -1245,6 +1273,44 @@ object SparkEntry {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    // C4 cleaning twin: identical synthesized lines, independent list
+    // expressions
+    "c4_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 50) || '.' || chr(10)
+        |    || 'this is a perfectly fine prose sentence.' || chr(10)
+        |    || 'menu' || chr(10)
+        |    || 'please enable javascript to view this page.' || chr(10)
+        |    || substr(text, 51, 40)
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' and so it ends.'
+        |            ELSE ' no terminal' END || chr(10)
+        |    || substr(text, 91, 40) || ' closing words.'
+        |    || CASE WHEN doc_id % 10 = 0
+        |            THEN chr(10) || 'lorem ipsum dolor sit amet.'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0
+        |            THEN chr(10) || 'function f() { return 1; }'
+        |            ELSE '' END AS ctext
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, ctext,
+        |    string_split(ctext, chr(10)) AS lines,
+        |    list_filter(string_split(ctext, chr(10)), x ->
+        |      (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%"')
+        |      AND len(list_filter(string_split_regex(x, '\s+'),
+        |            w -> w != '')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  (NOT contains(lower(ctext), 'lorem ipsum')
+        |   AND NOT contains(ctext, '{')
+        |   AND len(kept) >= 3) AS c4_keep,
+        |  array_to_string(kept, chr(10)) AS cleaned
+        |FROM l ORDER BY doc_id""".stripMargin,
 
     // NFC twin: identical synthesized denormalized text; DuckDB's
     // independent nfc_normalize implementation must agree byte-for-byte

@@ -277,6 +277,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!planStr.contains("ScalaUDF"))
   }
 
+  test("c4_clean: map-only line filtering — one scan, no UDF, no wide shuffle") {
+    val q = SparkEntry.queries("c4_clean")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val planStr = finalPlans(q).head.toString.split("== Initial Plan ==").head
+    assert("FileScan".r.findAllIn(planStr).length == 1,
+      "line cleaning must ride a single documents scan")
+    assert(!planStr.contains("ScalaUDF"),
+      "per-line rules must stay higher-order column expressions")
+    // the only exchange is the deterministic output ordering
+    assert(!planStr.contains("hashpartitioning("),
+      s"cleaning is map-only — no hash shuffle:\n${planStr.take(2000)}")
+  }
+
   test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
     val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(df).map(_.toString).mkString("\n")
