@@ -231,6 +231,15 @@ object Plans {
           |window equivalent of a map-side combine.""".stripMargin,
         SparkEntry.queries("host_cap")(spark, sf)),
 
+      ("domain blocklist: broadcast anti-join application",
+        """Must hold: deriving the blocklist shuffles only (host, count,
+          |sum) roll-up rows (domain-bounded — megabytes at web scale);
+          |the median threshold joins as a broadcast 1-row cross join;
+          |APPLYING the blocklist is a BroadcastHashJoin LeftAnti — the
+          |100 TB corpus side never shuffles to drop a spam
+          |domain.""".stripMargin,
+        SparkEntry.queries("domain_blocklist")(spark, sf)),
+
       ("ann_recall: persisted brute-force ground truth",
         """Must hold: the brute-force top-k (a full corpus scan — the
           |heaviest job in the bench) materializes ONCE: the recall rows

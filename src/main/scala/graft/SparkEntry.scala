@@ -721,6 +721,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // domain blocklist derive + apply — per-host mean quality (doc
+    // length) below the median of host means blocklists the host; the
+    // anti-join drops its docs. Output: per-host survivor roll-up with
+    // checksum (blocked hosts vanish), certifying both the derivation
+    // and the application.
+    "domain_blocklist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("www.example"), (col("doc_id") % 7).cast("string"),
+            lit(".com")).as("host"),
+          length(col("text")).cast("long").as("n_chars"))
+      val stats = ops.DomainFilter.hostStats(docs, "host", "n_chars")
+      val kept = ops.DomainFilter.applyBlocklist(
+        docs, ops.DomainFilter.deriveBlocklist(stats), "host")
+      kept.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("doc_checksum"))
+        .orderBy(col("host"))
+    }),
+
     // PII redaction audit — emails/phones/IPv4 scrubbed to typed tokens
     // with per-type counts (ops.Pii: pure regexp column exprs, codegen,
     // map-only). The PII is synthesized deterministically from doc_id
@@ -1273,6 +1293,27 @@ object SparkEntry {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    // domain blocklist twin: same host synthesis, same median-of-means
+    // rule (7 hosts -> odd count, median is the exact middle mean; the
+    // strict < keeps the median host)
+    "domain_blocklist" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |stats AS (
+        |  SELECT host, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_q
+        |  FROM d GROUP BY host),
+        |m AS (SELECT median(mean_q) AS med FROM stats),
+        |blocked AS (
+        |  SELECT host FROM stats CROSS JOIN m WHERE mean_q < med)
+        |SELECT host, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+        |FROM d WHERE host NOT IN (SELECT host FROM blocked)
+        |GROUP BY host ORDER BY host""".stripMargin,
 
     // C4 cleaning twin: identical synthesized lines, independent list
     // expressions

@@ -290,6 +290,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"cleaning is map-only — no hash shuffle:\n${planStr.take(2000)}")
   }
 
+  test("domain_blocklist: the corpus side anti-joins against a broadcast") {
+    val q = SparkEntry.queries("domain_blocklist")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val planStr = finalPlans(q).head.toString.split("== Initial Plan ==").head
+    assert(planStr.contains("BroadcastHashJoin") && planStr.contains("LeftAnti"),
+      s"blocklist application must be a broadcast left-anti join:\n${planStr.take(2000)}")
+    assert(!planStr.contains("ScalaUDF"))
+  }
+
   test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
     val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(df).map(_.toString).mkString("\n")
