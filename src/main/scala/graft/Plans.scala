@@ -240,6 +240,17 @@ object Plans {
           |domain.""".stripMargin,
         SparkEntry.queries("domain_blocklist")(spark, sf)),
 
+      ("host PageRank: host-cardinality iterations over a persisted graph",
+        """Must hold: the edge list derives from the corpus ONCE (explode
+          |+ distinct; text never enters the graph) and is persisted —
+          |each power iteration reads InMemoryTableScan, joins edges to
+          |the rank table on src, and runs a map-side-combined sum keyed
+          |on dst. Everything after the derivation runs at HOST
+          |cardinality (millions of rows, not the corpus's 100 TB);
+          |ranks are integer micro-units so any partitioning yields the
+          |same bytes.""".stripMargin,
+        SparkEntry.queries("host_pagerank")(spark, sf)),
+
       ("ann_recall: persisted brute-force ground truth",
         """Must hold: the brute-force top-k (a full corpus scan — the
           |heaviest job in the bench) materializes ONCE: the recall rows

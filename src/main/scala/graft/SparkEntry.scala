@@ -741,6 +741,31 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // host link graph + 3-iteration integer PageRank — outlink hosts
+    // synthesized deterministically from doc_id (3 targets per doc over
+    // an 11-host universe); ranks are pure integer micro-units, so the
+    // DuckDB twin (unrolled power steps) reproduces them byte-exactly.
+    "host_pagerank" -> ((s, dir) => {
+      val h  = (e: org.apache.spark.sql.Column) =>
+        concat(lit("h"), e.cast("string"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          h(col("doc_id") % 11).as("host"),
+          array(
+            h((col("doc_id") * 3 + 1) % 11),
+            h((col("doc_id") * 7 + 2) % 11),
+            h((col("doc_id") + 5) % 11)).as("out_hosts"))
+      val edges = ops.LinkGraph.hostEdges(docs, "host", "out_hosts")
+      val deg = edges.groupBy(col("src").as("host"))
+        .agg(count(lit(1)).as("out_deg"))
+      ops.LinkGraph.pageRankMicro(edges, iterations = 3)
+        .join(deg, Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          col("rank_micro"))
+        .orderBy(col("host"))
+    }),
+
     // PII redaction audit — emails/phones/IPv4 scrubbed to typed tokens
     // with per-type counts (ops.Pii: pure regexp column exprs, codegen,
     // map-only). The PII is synthesized deterministically from doc_id
@@ -1314,6 +1339,48 @@ object SparkEntry {
         |  CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
         |FROM d WHERE host NOT IN (SELECT host FROM blocked)
         |GROUP BY host ORDER BY host""".stripMargin,
+
+    // PageRank twin: same edge synthesis, three unrolled integer power
+    // steps (`//` = `div` on positive BIGINTs; sums cast back to BIGINT
+    // because DuckDB widens SUM to HUGEINT)
+    "host_pagerank" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'h' || CAST(doc_id % 11 AS VARCHAR) AS src,
+        |    ['h' || CAST((doc_id*3+1) % 11 AS VARCHAR),
+        |     'h' || CAST((doc_id*7+2) % 11 AS VARCHAR),
+        |     'h' || CAST((doc_id+5) % 11 AS VARCHAR)] AS targets
+        |  FROM documents),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM
+        |    (SELECT src, unnest(targets) AS dst FROM d)
+        |  WHERE src <> dst),
+        |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS host, CAST(SUM(r0.r // od.deg) AS BIGINT) AS s
+        |       FROM e JOIN r0 ON e.src = r0.host JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.host,
+        |         CAST(150000 + COALESCE((85 * c1.s) // 100, 0) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c1 ON n.host = c1.host),
+        |c2 AS (SELECT e.dst AS host, CAST(SUM(r1.r // od.deg) AS BIGINT) AS s
+        |       FROM e JOIN r1 ON e.src = r1.host JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.host,
+        |         CAST(150000 + COALESCE((85 * c2.s) // 100, 0) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c2 ON n.host = c2.host),
+        |c3 AS (SELECT e.dst AS host, CAST(SUM(r2.r // od.deg) AS BIGINT) AS s
+        |       FROM e JOIN r2 ON e.src = r2.host JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.host,
+        |         CAST(150000 + COALESCE((85 * c3.s) // 100, 0) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c3 ON n.host = c3.host)
+        |SELECT n.host, COALESCE(od.deg, 0) AS out_deg, r3.r AS rank_micro
+        |FROM nodes n
+        |LEFT JOIN od ON n.host = od.src
+        |JOIN r3 ON n.host = r3.host
+        |ORDER BY n.host""".stripMargin,
 
     // C4 cleaning twin: identical synthesized lines, independent list
     // expressions

@@ -299,6 +299,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!planStr.contains("ScalaUDF"))
   }
 
+  test("host_pagerank: the graph is persisted, not re-derived per iteration") {
+    val q = SparkEntry.queries("host_pagerank")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val planStr = finalPlans(q).map(_.toString).mkString("\n")
+    assert(planStr.contains("InMemoryTableScan") || planStr.contains("InMemoryRelation"),
+      "edges/nodes must be persisted — each power iteration otherwise " +
+        s"recomputes the explode+distinct from the corpus scan:\n${planStr.take(2000)}")
+    assert(!planStr.contains("CartesianProduct") && !planStr.contains("ScalaUDF"))
+  }
+
   test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
     val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(df).map(_.toString).mkString("\n")
