@@ -251,6 +251,16 @@ object Plans {
           |same bytes.""".stripMargin,
         SparkEntry.queries("host_pagerank")(spark, sf)),
 
+      ("BM25 search: filtered postings, broadcast stats, bounded-heap top-k",
+        """Must hold: the postings stream filters to the query terms
+          |BEFORE any join (term predicate — prunable when postings are
+          |stored bucketed by term); per-term document frequencies and
+          |the 1-row corpus totals broadcast; the final top-k is
+          |TakeOrderedAndProject (per-partition bounded heaps) — at
+          |100 TB nothing global-sorts and nothing unbounded crosses the
+          |wire.""".stripMargin,
+        SparkEntry.queries("bm25_search")(spark, sf)),
+
       ("ann_recall: persisted brute-force ground truth",
         """Must hold: the brute-force top-k (a full corpus scan — the
           |heaviest job in the bench) materializes ONCE: the recall rows

@@ -766,6 +766,14 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // BM25 keyword search over the inverted index — integer-rational
+    // tf part and micro-nat-quantized idf make per-doc scores integer
+    // sums, so the DuckDB twin reproduces ranking AND scores
+    // byte-exactly. Top-k plans as TakeOrderedAndProject.
+    "bm25_search" -> ((s, dir) =>
+      ops.Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("window", "merge", "vector"), 50)),
+
     // PII redaction audit — emails/phones/IPv4 scrubbed to typed tokens
     // with per-type counts (ops.Pii: pure regexp column exprs, codegen,
     // map-only). The PII is synthesized deterministically from doc_id
@@ -1339,6 +1347,41 @@ object SparkEntry {
         |  CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
         |FROM d WHERE host NOT IN (SELECT host FROM blocked)
         |GROUP BY host ORDER BY host""".stripMargin,
+
+    // BM25 twin: same tokenization (word_topk's), same integer-rational
+    // score — (idf_micro*22*tf*L) // (10*tf*L + 3*L + 9*len*N)
+    "bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, word AS term FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 2),
+        |post AS (
+        |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term IN ('window', 'merge', 'vector')
+        |  GROUP BY term, doc_id),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |        FROM post GROUP BY term),
+        |lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+        |         FROM toks GROUP BY doc_id),
+        |tot AS (SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS corpus_len,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    (CAST(FLOOR(ln(CAST(2*t.n_docs+2 AS DOUBLE)
+        |                   / CAST(2*d.df+1 AS DOUBLE)) * 1e6) AS BIGINT)
+        |      * 22 * p.tf * t.corpus_len)
+        |    // (10*p.tf*t.corpus_len + 3*t.corpus_len + 9*l.len*t.n_docs)
+        |      AS term_score
+        |  FROM post p
+        |  JOIN dfs d ON p.term = d.term
+        |  JOIN lens l ON p.doc_id = l.doc_id
+        |  CROSS JOIN tot t)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+        |  CAST(SUM(term_score) AS BIGINT) AS score_micro
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin,
 
     // PageRank twin: same edge synthesis, three unrolled integer power
     // steps (`//` = `div` on positive BIGINTs; sums cast back to BIGINT

@@ -309,6 +309,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!planStr.contains("CartesianProduct") && !planStr.contains("ScalaUDF"))
   }
 
+  test("bm25_search: bounded-heap top-k, broadcast stats, no UDF") {
+    val q = SparkEntry.queries("bm25_search")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val planStr = finalPlans(q).map(_.toString).mkString("\n")
+    assert(planStr.contains("TakeOrderedAndProject"),
+      s"top-k must plan as per-partition bounded heaps, not a global sort:\n${planStr.take(2000)}")
+    assert(planStr.contains("BroadcastHashJoin") ||
+      planStr.contains("BroadcastNestedLoopJoin"),
+      s"term df / corpus totals must broadcast:\n${planStr.take(2000)}")
+    assert(!planStr.contains("ScalaUDF") && !planStr.contains("CartesianProduct"))
+  }
+
   test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
     val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(df).map(_.toString).mkString("\n")
