@@ -774,6 +774,14 @@ object SparkEntry {
       ops.Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("window", "merge", "vector"), 50)),
 
+    // temperature-scaled mixing quotas per language — α=0.5 weights in
+    // integer micro-units (per-group sqrt quantized FIRST, integer-sum
+    // normalizer), doc budget 100k split by weight.
+    "mixing_quotas" -> ((s, dir) =>
+      ops.Mixing.temperatureQuotas(t(s, dir, "documents"), "lang",
+          budget = 100000L)
+        .orderBy(col("lang"))),
+
     // PII redaction audit — emails/phones/IPv4 scrubbed to typed tokens
     // with per-type counts (ops.Pii: pure regexp column exprs, codegen,
     // map-only). The PII is synthesized deterministically from doc_id
@@ -1347,6 +1355,22 @@ object SparkEntry {
         |  CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
         |FROM d WHERE host NOT IN (SELECT host FROM blocked)
         |GROUP BY host ORDER BY host""".stripMargin,
+
+    // mixing twin: same quantize-then-normalize integer rule
+    "mixing_quotas" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |s AS (
+        |  SELECT lang, n_docs,
+        |    CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS s_micro
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(s_micro) AS BIGINT) AS total_micro FROM s)
+        |SELECT lang, n_docs,
+        |  (s_micro * 1000000) // total_micro AS weight_micro,
+        |  (100000 * s_micro) // total_micro AS quota_docs
+        |FROM s CROSS JOIN t ORDER BY lang""".stripMargin,
 
     // BM25 twin: same tokenization (word_topk's), same integer-rational
     // score — (idf_micro*22*tf*L) // (10*tf*L + 3*L + 9*len*N)
