@@ -782,6 +782,42 @@ object SparkEntry {
           budget = 100000L)
         .orderBy(col("lang"))),
 
+    // training-token budget per language — GPT-2-style pre-tokenizer
+    // regex counts (RE2-safe subset, explicit whitespace class) as
+    // codegen regexp_count column exprs; roll-up ships (lang, sums).
+    "token_budget" -> ((s, dir) =>
+      ops.TokenCount.tokenBudget(t(s, dir, "documents"), "text", "lang")
+        .orderBy(col("lang"))),
+
+    // crawl-frontier URL rules — scheme/length/depth/params/trap
+    // checks as pure column exprs, first-failing-rule reasons;
+    // synthesized urls exercise every rule. Output: per-reason tally
+    // with doc_id checksum (certifies WHICH docs each rule caught).
+    "url_rules" -> ((s, dir) => {
+      val url = when(col("doc_id") % 13 === 0,
+          lit("ftp://www.example.com/x"))
+        .otherwise(concat(
+          when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("http")),
+          lit("://www.example"), (col("doc_id") % 7).cast("string"),
+          lit(".com"),
+          expr("repeat('/p', cast(doc_id % 12 as int))"),
+          when(col("doc_id") % 17 === 0,
+            concat(lit("/"), expr("repeat('z', 2100)"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("?sessionid=abc123"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9"))
+            .otherwise(lit(""))))
+      ops.UrlFilter.withUrlRules(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+          "url")
+        .groupBy(coalesce(col("url_drop_reason"), lit("kept"))
+          .as("reason"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("doc_checksum"))
+        .orderBy(col("reason"))
+    }),
+
     // PII redaction audit — emails/phones/IPv4 scrubbed to typed tokens
     // with per-type counts (ops.Pii: pure regexp column exprs, codegen,
     // map-only). The PII is synthesized deterministically from doc_id
@@ -1355,6 +1391,64 @@ object SparkEntry {
         |  CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
         |FROM d WHERE host NOT IN (SELECT host FROM blocked)
         |GROUP BY host ORDER BY host""".stripMargin,
+
+    // url-rules twin: same synthesis, same CASE precedence
+    "url_rules" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'ftp://www.example.com/x'
+        |    ELSE
+        |      (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+        |      || '://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+        |      || repeat('/p', CAST(doc_id % 12 AS INT))
+        |      || (CASE WHEN doc_id % 17 = 0 THEN '/' || repeat('z', 2100)
+        |          ELSE '' END)
+        |      || (CASE WHEN doc_id % 5 = 0 THEN '?sessionid=abc123'
+        |          ELSE '' END)
+        |      || (CASE WHEN doc_id % 11 = 0
+        |          THEN '?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9'
+        |          ELSE '' END)
+        |    END AS url
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN NOT (url LIKE 'http://%' OR url LIKE 'https://%')
+        |        THEN 'scheme'
+        |      WHEN length(url) > 2048 THEN 'too_long'
+        |      WHEN length(regexp_extract_all(url, '/')) - 2 > 8
+        |        THEN 'too_deep'
+        |      WHEN length(regexp_extract_all(url, '[?&][^?&=]+=')) > 8
+        |        THEN 'too_many_params'
+        |      WHEN regexp_matches(url, '/tag/')
+        |        OR regexp_matches(url, 'sessionid=')
+        |        OR regexp_matches(url, '/calendar/[0-9]{4}')
+        |        OR regexp_matches(url, 'replytocom=')
+        |        THEN 'trap_pattern'
+        |      ELSE 'kept' END AS reason
+        |  FROM u)
+        |SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+        |FROM r GROUP BY reason ORDER BY reason""".stripMargin,
+
+    // token-budget twin: identical RE2 patterns ('' = escaped quote)
+    "token_budget" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    CAST(length(regexp_extract_all(text,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\p{L}\p{N}]+'))
+        |      AS BIGINT) AS bpe,
+        |    CAST(length(regexp_extract_all(text, '[^ \t\n\r]+'))
+        |      AS BIGINT) AS ws,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(nc) AS BIGINT) AS sum_chars,
+        |  (CAST(SUM(bpe) AS BIGINT) * 1000) // CAST(SUM(nc) AS BIGINT)
+        |    AS bpe_per_kchar
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
     // mixing twin: same quantize-then-normalize integer rule
     "mixing_quotas" ->

@@ -321,6 +321,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!planStr.contains("ScalaUDF") && !planStr.contains("CartesianProduct"))
   }
 
+  test("token_budget and url_rules stay codegen map-only (no UDF, one scan)") {
+    for (name <- Seq("token_budget", "url_rules")) {
+      // inspect the pre-execution plan: AQE hides scans inside leaf
+      // query stages once materialized
+      val q = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val planStr = finalPlans(q).map(_.toString).mkString("\n")
+      assert(!planStr.contains("ScalaUDF"),
+        s"$name must be pure column expressions:\n${planStr.take(1500)}")
+      assert(scans(q).size == 1,
+        s"$name must read the corpus exactly once")
+    }
+  }
+
   test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
     val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(df).map(_.toString).mkString("\n")
