@@ -261,6 +261,25 @@ object Plans {
           |wire.""".stripMargin,
         SparkEntry.queries("bm25_search")(spark, sf)),
 
+      ("anchor extraction: one typed flatMap over one scan",
+        """Must hold: link extraction is a single typed flatMap stage
+          |(one SerializeFromObject) over one corpus scan — map-only,
+          |no state across rows; at 100 TB the anchor stream feeds the
+          |link-graph and frontier-rule stages without ever
+          |re-reading pages.""".stripMargin,
+        SparkEntry.queries("anchor_rows")(spark, sf)),
+
+      ("NB classifier: vocab-bounded model, WindowGroupLimit argmax",
+        """Must hold: training shuffles only (label, term, count) rows —
+          |vocab-bounded, never text; scoring joins the doc term counts
+          |against the model on the term key with the per-label priors
+          |broadcast (|labels| rows); the per-doc argmax is
+          |row_number<=1 written so Catalyst plans WindowGroupLimit —
+          |map tasks pre-prune to their local best before the exchange.
+          |Scores are integer micro-nats: any partitioning, same
+          |confusion matrix.""".stripMargin,
+        SparkEntry.queries("nb_lang_confusion")(spark, sf)),
+
       ("ann_recall: persisted brute-force ground truth",
         """Must hold: the brute-force top-k (a full corpus scan — the
           |heaviest job in the bench) materializes ONCE: the recall rows

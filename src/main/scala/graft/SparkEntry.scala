@@ -818,6 +818,48 @@ object SparkEntry {
         .orderBy(col("reason"))
     }),
 
+    // anchor extraction through the REAL streaming HTML tokenizer —
+    // the synthesized pages exercise uppercase tags, single/double
+    // quotes, entities in hrefs, nested inline markup, implicit-close,
+    // and dangling anchors; the oracle re-derives the expected
+    // (href, text) rows directly from doc_id, independently certifying
+    // the tokenizer path end to end.
+    "anchor_rows" -> ((s, dir) => {
+      val id = col("doc_id")
+      val page = concat(
+        lit("<html><body><A HREF=\"https://www.Example"),
+        (id % 7).cast("string"),
+        lit(".com/a?x=1&amp;y=2\">Link "), id.cast("string"),
+        lit(" here</a><p>filler <b>text</b></p><a href='http://site"),
+        (id % 5).cast("string"),
+        lit(".org/p'>second <i>link</i></a>"),
+        when(id % 3 === 0, lit("<a href=\"/relative/path\">rel</a>"))
+          .otherwise(lit("")),
+        when(id % 4 === 0,
+          lit("<a href=\"https://dangling.net/x\">never closed"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      html.Anchors.anchorRows(
+          t(s, dir, "documents").select(id, page.as("page_html")),
+          "doc_id", "page_html")
+        .orderBy(col("doc_id"), col("href"))
+    }),
+
+    // multinomial Naive Bayes language classifier, trained and scored
+    // in-corpus — integer micro-nat log-probs make the confusion
+    // matrix engine-exact. Output: (actual, predicted) tally with
+    // doc_id checksums.
+    "nb_lang_confusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (pt, pl) = ops.NaiveBayesText.train(docs, "doc_id", "text", "lang")
+      ops.NaiveBayesText.predict(docs, "doc_id", "text", pt, pl)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("doc_checksum"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
     // PII redaction audit — emails/phones/IPv4 scrubbed to typed tokens
     // with per-type counts (ops.Pii: pure regexp column exprs, codegen,
     // map-only). The PII is synthesized deterministically from doc_id
@@ -1391,6 +1433,79 @@ object SparkEntry {
         |  CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
         |FROM d WHERE host NOT IN (SELECT host FROM blocked)
         |GROUP BY host ORDER BY host""".stripMargin,
+
+    // NB twin: full independent re-derivation — counts, Laplace
+    // smoothing, micro-nat quantization, argmax with label-asc ties
+    "nb_lang_confusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, word AS term FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(string_split(lower(text), ' ')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 2),
+        |lt AS (SELECT lang AS label, term, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT label, CAST(SUM(c) AS BIGINT) AS tot
+        |        FROM lt GROUP BY 1),
+        |voc AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM lt),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |nl AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_label
+        |       FROM documents GROUP BY 1),
+        |pt AS (SELECT lt.label, lt.term,
+        |         CAST(FLOOR(ln(CAST(lt.c + 1 AS DOUBLE)
+        |           / CAST(t.tot + voc.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+        |       FROM lt JOIN tot t ON lt.label = t.label CROSS JOIN voc),
+        |pl AS (SELECT nl.label,
+        |         CAST(FLOOR(ln(CAST(nl.n_label AS DOUBLE)
+        |           / CAST(nd.n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS prior,
+        |         CAST(FLOOR(ln(1.0
+        |           / CAST(t.tot + voc.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp0
+        |       FROM nl JOIN tot t ON nl.label = t.label
+        |       CROSS JOIN voc CROSS JOIN nd),
+        |tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM toks GROUP BY 1, 2),
+        |pdl AS (SELECT tc.doc_id, pl.label,
+        |          CAST(SUM(tc.cnt * COALESCE(pt.lp, pl.lp0)) AS BIGINT) AS ll
+        |        FROM tc CROSS JOIN pl
+        |        LEFT JOIN pt ON tc.term = pt.term AND pl.label = pt.label
+        |        GROUP BY 1, 2),
+        |adl AS (SELECT d.doc_id, pl.label,
+        |          COALESCE(pdl.ll, 0) + pl.prior AS score
+        |        FROM documents d CROSS JOIN pl
+        |        LEFT JOIN pdl ON d.doc_id = pdl.doc_id
+        |          AND pl.label = pdl.label),
+        |pred AS (SELECT doc_id, label AS predicted,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, label) AS rk
+        |         FROM adl)
+        |SELECT d.lang, p.predicted, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(d.doc_id) AS BIGINT) AS doc_checksum
+        |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+        |WHERE p.rk = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // anchor twin: expected rows derived straight from doc_id — no
+    // HTML parsing on the oracle side, so it independently pins what
+    // the tokenizer must produce (entity-decoded href, collapsed text)
+    "anchor_rows" ->
+      """SELECT * FROM (
+        |  SELECT doc_id,
+        |    'https://www.Example' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.com/a?x=1&y=2' AS href,
+        |    'Link ' || CAST(doc_id AS VARCHAR) || ' here' AS anchor_text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.org/p',
+        |    'second link'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, '/relative/path', 'rel'
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'https://dangling.net/x', 'never closed'
+        |  FROM documents WHERE doc_id % 4 = 0)
+        |ORDER BY doc_id, href""".stripMargin,
 
     // url-rules twin: same synthesis, same CASE precedence
     "url_rules" ->

@@ -334,6 +334,23 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("anchor_rows: one typed flatMap stage over one scan") {
+    val q = SparkEntry.queries("anchor_rows")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.linesIterator.count(_.contains("SerializeFromObject")) == 1,
+      s"anchor extraction must be a single typed stage:\n${planStr.take(1500)}")
+    assert(scans(q).size == 1, "anchor extraction must read the corpus once")
+  }
+
+  test("nb_lang_confusion: argmax plans as WindowGroupLimit, no UDF") {
+    val q = SparkEntry.queries("nb_lang_confusion")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).map(_.toString).mkString("\n")
+    assert(planStr.contains("WindowGroupLimit"),
+      "the per-doc argmax must pre-prune map-side (row_number <= 1 " +
+        s"rewrite):\n${planStr.take(2000)}")
+    assert(!planStr.contains("ScalaUDF"))
+  }
+
   test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
     val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(df).map(_.toString).mkString("\n")
