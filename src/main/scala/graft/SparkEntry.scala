@@ -22,6 +22,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Synthesized HTML page for the anchor oracles — exercises
+    * uppercase tags, single/double quotes, an entity in a href, nested
+    * inline markup, a relative link, and a dangling (never-closed)
+    * anchor, all derived from doc_id so the DuckDB twin can state the
+    * expected extraction without parsing. */
+  private def anchorTestPage: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<html><body><A HREF=\"https://www.Example"),
+      (id % 7).cast("string"),
+      lit(".com/a?x=1&amp;y=2\">Link "), id.cast("string"),
+      lit(" here</a><p>filler <b>text</b></p><a href='http://site"),
+      (id % 5).cast("string"),
+      lit(".org/p'>second <i>link</i></a>"),
+      when(id % 3 === 0, lit("<a href=\"/relative/path\">rel</a>"))
+        .otherwise(lit("")),
+      when(id % 4 === 0,
+        lit("<a href=\"https://dangling.net/x\">never closed"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
   /** Flagship: main-content extraction over the synthesized corpus. */
   def entry(spark: SparkSession): DataFrame = {
     val corpus = CorpusGen.generate(spark, 500, partitions = 8).toDF()
@@ -824,25 +846,30 @@ object SparkEntry {
     // and dangling anchors; the oracle re-derives the expected
     // (href, text) rows directly from doc_id, independently certifying
     // the tokenizer path end to end.
-    "anchor_rows" -> ((s, dir) => {
-      val id = col("doc_id")
-      val page = concat(
-        lit("<html><body><A HREF=\"https://www.Example"),
-        (id % 7).cast("string"),
-        lit(".com/a?x=1&amp;y=2\">Link "), id.cast("string"),
-        lit(" here</a><p>filler <b>text</b></p><a href='http://site"),
-        (id % 5).cast("string"),
-        lit(".org/p'>second <i>link</i></a>"),
-        when(id % 3 === 0, lit("<a href=\"/relative/path\">rel</a>"))
-          .otherwise(lit("")),
-        when(id % 4 === 0,
-          lit("<a href=\"https://dangling.net/x\">never closed"))
-          .otherwise(lit("")),
-        lit("</body></html>"))
+    "anchor_rows" -> ((s, dir) =>
       html.Anchors.anchorRows(
-          t(s, dir, "documents").select(id, page.as("page_html")),
+          t(s, dir, "documents")
+            .select(col("doc_id"), anchorTestPage.as("page_html")),
           "doc_id", "page_html")
-        .orderBy(col("doc_id"), col("href"))
+        .orderBy(col("doc_id"), col("href"))),
+
+    // per-target-host anchor roll-up — composes the tokenizer-based
+    // anchor stream with UrlNorm.hostOf (relative hrefs drop: no
+    // host); certifies the extraction->link-graph plumbing end to end.
+    "anchor_host_stats" -> ((s, dir) => {
+      val anchors = html.Anchors.anchorRows(
+        t(s, dir, "documents")
+          .select(col("doc_id"), anchorTestPage.as("page_html")),
+        "doc_id", "page_html")
+      anchors
+        .where(col("href").startsWith("http://") ||
+          col("href").startsWith("https://"))
+        .select(col("doc_id"), ops.UrlNorm.hostOf(col("href")).as("target_host"))
+        .groupBy(col("target_host"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_src_docs"),
+          sum(col("doc_id")).cast("long").as("doc_checksum"))
+        .orderBy(col("target_host"))
     }),
 
     // multinomial Naive Bayes language classifier, trained and scored
@@ -1506,6 +1533,24 @@ object SparkEntry {
         |  SELECT doc_id, 'https://dangling.net/x', 'never closed'
         |  FROM documents WHERE doc_id % 4 = 0)
         |ORDER BY doc_id, href""".stripMargin,
+
+    // anchor-host twin: expected hosts derived from doc_id; the
+    // relative link contributes no host
+    "anchor_host_stats" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS target_host
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'site' || CAST(doc_id % 5 AS VARCHAR) || '.org'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'dangling.net'
+        |  FROM documents WHERE doc_id % 4 = 0)
+        |SELECT target_host, CAST(COUNT(*) AS BIGINT) AS n_links,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+        |FROM a GROUP BY target_host ORDER BY target_host""".stripMargin,
 
     // url-rules twin: same synthesis, same CASE precedence
     "url_rules" ->
