@@ -887,6 +887,15 @@ object SparkEntry {
         .orderBy(col("lang"), col("predicted"))
     }),
 
+    // duplicate-span removal (Lee et al. removal stage) — string-keyed
+    // here so the DuckDB twin can reproduce the cleaned text
+    // byte-exactly; hashed=true is the production path (spec-pinned
+    // equal on fixtures).
+    "span_removal" -> ((s, dir) =>
+      ops.SpanRemoval.removeDuplicateSpans(
+          t(s, dir, "documents"), "doc_id", "text", hashed = false)
+        .orderBy(col("doc_id"))),
+
     // PII redaction audit — emails/phones/IPv4 scrubbed to typed tokens
     // with per-type counts (ops.Pii: pure regexp column exprs, codegen,
     // map-only). The PII is synthesized deterministically from doc_id
@@ -1533,6 +1542,35 @@ object SparkEntry {
         |  SELECT doc_id, 'https://dangling.net/x', 'never closed'
         |  FROM documents WHERE doc_id % 4 = 0)
         |ORDER BY doc_id, href""".stripMargin,
+
+    // span-removal twin: zipped unnests give (pos, token) and
+    // (pos, shingle); identical coverage + ordered reassembly
+    "span_removal" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest(range(len(arr) - 2)) AS p,
+        |        unnest(list_transform(range(len(arr) - 2),
+        |          i -> array_to_string(arr[i+1:i+3], ' '))) AS sh
+        |      FROM d WHERE len(arr) >= 3),
+        |dup AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(*) >= 2),
+        |cov AS (SELECT DISTINCT s.doc_id, s.p + o.o AS pos
+        |        FROM s JOIN dup USING (sh)
+        |        CROSS JOIN (SELECT unnest(range(3)) AS o) o),
+        |toks AS (SELECT doc_id, unnest(range(len(arr))) AS pos,
+        |           unnest(arr) AS tok FROM d),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |           WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+        |ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |       FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.arr) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.arr) - COALESCE(ka.n_kept, 0) AS BIGINT)
+        |    AS n_removed,
+        |  COALESCE(ka.cleaned, '') AS cleaned
+        |FROM d LEFT JOIN ka ON d.doc_id = ka.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // anchor-host twin: expected hosts derived from doc_id; the
     // relative link contributes no host
