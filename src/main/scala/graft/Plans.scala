@@ -269,6 +269,15 @@ object Plans {
           |re-reading pages.""".stripMargin,
         SparkEntry.queries("anchor_rows")(spark, sf)),
 
+      ("robots permission: broadcast robots, memoized typed eval",
+        """Must hold: the per-host robots table (domain cardinality —
+          |megabytes at web scale) joins the frontier as a broadcast;
+          |evaluation is ONE typed mapPartitions whose per-partition
+          |host→rules memo parses each robots body once per (partition,
+          |host), not once per URL — at 100 TB the frontier never
+          |shuffles to be permission-checked.""".stripMargin,
+        SparkEntry.queries("robots_allowed")(spark, sf)),
+
       ("NB classifier: vocab-bounded model, WindowGroupLimit argmax",
         """Must hold: training shuffles only (label, term, count) rows —
           |vocab-bounded, never text; scoring joins the doc term counts

@@ -896,6 +896,79 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", hashed = false)
         .orderBy(col("doc_id"))),
 
+    // robots.txt permission evaluation (RFC 9309) — synthesized
+    // frontier exercises group selection (graftbot-specific deny vs
+    // the * group), /private/ prefix rules, the longest-match
+    // allow override, wildcard+anchor patterns, and a host with no
+    // robots at all; the oracle states expected outcomes per branch.
+    "robots_allowed" -> ((s, dir) => {
+      import s.implicits._
+      val m5 = col("doc_id") % 5
+      val frontier = t(s, dir, "documents").select(
+        concat(lit("h"), (col("doc_id") % 4).cast("string"), lit(".com"))
+          .as("host"),
+        when(m5 === 0, lit("/private/data/1"))
+          .when(m5 === 1, lit("/private/pubfile"))
+          .when(m5 === 2, lit("/docs/file.pdf"))
+          .when(m5 === 3, lit("/docs/file.pdfx"))
+          .otherwise(lit("/open/page")).as("path"))
+      val starTxt = "User-agent: *\nDisallow: /private/\n" +
+        "Allow: /private/pub*\nDisallow: /*.pdf$\n"
+      val botTxt = "User-agent: graftbot\nDisallow: /\n\n" +
+        "User-agent: *\nAllow: /\n"
+      val robots = Seq(("h0.com", starTxt), ("h1.com", starTxt),
+        ("h3.com", botTxt)).toDF("host", "robots_txt")
+      ops.Robots.allowedFlags(frontier, robots, "host", "path",
+          "robots_txt", "graftbot")
+        .groupBy(col("host"), col("path"), col("allowed"))
+        .agg(count(lit(1)).as("n_urls"))
+        .orderBy(col("host"), col("path"), col("allowed"))
+    }),
+
+    // vocabulary coverage report — the tokenizer-training question
+    // "how much of the corpus do the top-N words cover": top-32 vocab
+    // (count desc, word asc), cumulative counts, and integer-exact
+    // coverage micros; the running sum windows over 32 rows only.
+    "vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ", -1)).as("word"))
+        .filter(length(col("word")) > 2)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val ord = Window.orderBy(col("cnt").desc, col("word"))
+      counts.orderBy(col("cnt").desc, col("word")).limit(32)
+        .crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .withColumn("cum_cnt",
+          sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .select(col("rank"), col("word"), col("cnt"), col("cum_cnt"),
+          expr("(cum_cnt * 1000000) div total").as("cum_coverage_micro"))
+        .orderBy(col("rank"))
+    }),
+
+    // politeness fetch scheduling — per-host crawl waves under a
+    // per-host delay: wave k fetches at (k-1)*delay. The window keys
+    // on host (the same partitioning the fetcher shards by); output is
+    // the per-host schedule envelope with a checksum over every
+    // assigned fetch time.
+    "fetch_waves" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 9).cast("string")).as("host"),
+        ((col("doc_id") % 9) % 3 + 1).cast("long").as("delay_sec"))
+      val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+      f.withColumn("wave0", row_number().over(w).cast("long") - 1)
+        .withColumn("fetch_at_sec", col("wave0") * col("delay_sec"))
+        .groupBy(col("host"), col("delay_sec"))
+        .agg(count(lit(1)).as("n_urls"),
+          max(col("fetch_at_sec")).as("makespan_sec"),
+          sum(col("fetch_at_sec")).cast("long").as("schedule_checksum"))
+        .orderBy(col("host"))
+    }),
+
     // PII redaction audit — emails/phones/IPv4 scrubbed to typed tokens
     // with per-type counts (ops.Pii: pure regexp column exprs, codegen,
     // map-only). The PII is synthesized deterministically from doc_id
@@ -1542,6 +1615,65 @@ object SparkEntry {
         |  SELECT doc_id, 'https://dangling.net/x', 'never closed'
         |  FROM documents WHERE doc_id % 4 = 0)
         |ORDER BY doc_id, href""".stripMargin,
+
+    // fetch-waves twin: same per-host sequence and envelope
+    "fetch_waves" ->
+      """WITH f AS (
+        |  SELECT doc_id, 'h' || CAST(doc_id % 9 AS VARCHAR) AS host,
+        |    CAST((doc_id % 9) % 3 + 1 AS BIGINT) AS delay_sec
+        |  FROM documents),
+        |w AS (SELECT host, delay_sec,
+        |        CAST(row_number() OVER (PARTITION BY host
+        |          ORDER BY doc_id) AS BIGINT) - 1 AS wave0
+        |      FROM f)
+        |SELECT host, delay_sec, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(MAX(wave0 * delay_sec) AS BIGINT) AS makespan_sec,
+        |  CAST(SUM(wave0 * delay_sec) AS BIGINT) AS schedule_checksum
+        |FROM w GROUP BY 1, 2 ORDER BY host""".stripMargin,
+
+    // vocab-coverage twin: same tokenization, same total-order window
+    "vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT word FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 2),
+        |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        |top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 32),
+        |r AS (SELECT word, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, word)
+        |          AS BIGINT) AS rank,
+        |        CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+        |      FROM top)
+        |SELECT rank, word, cnt, cum_cnt,
+        |  (cum_cnt * 1000000) // tot.total AS cum_coverage_micro
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+
+    // robots twin: expected permission per synthesis branch — no
+    // robots parsing on the oracle side
+    "robots_allowed" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'h' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS host,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '/private/data/1'
+        |      WHEN 1 THEN '/private/pubfile'
+        |      WHEN 2 THEN '/docs/file.pdf'
+        |      WHEN 3 THEN '/docs/file.pdfx'
+        |      ELSE '/open/page' END AS path
+        |  FROM documents)
+        |SELECT host, path,
+        |  CASE
+        |    WHEN doc_id % 4 = 2 THEN TRUE
+        |    WHEN doc_id % 4 = 3 THEN FALSE
+        |    WHEN doc_id % 5 = 0 THEN FALSE
+        |    WHEN doc_id % 5 = 2 THEN FALSE
+        |    ELSE TRUE END AS allowed,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls
+        |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // span-removal twin: zipped unnests give (pos, token) and
     // (pos, shingle); identical coverage + ordered reassembly

@@ -351,6 +351,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!planStr.contains("ScalaUDF"))
   }
 
+  test("robots_allowed: robots table broadcasts; one typed eval stage") {
+    val q = SparkEntry.queries("robots_allowed")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"the domain-cardinality robots table must broadcast:\n${planStr.take(2000)}")
+    assert(planStr.linesIterator.count(_.contains("SerializeFromObject")) == 1,
+      s"permission evaluation must be a single typed stage:\n${planStr.take(2000)}")
+  }
+
   test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
     val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(df).map(_.toString).mkString("\n")
