@@ -278,6 +278,15 @@ object Plans {
           |shuffles to be permission-checked.""".stripMargin,
         SparkEntry.queries("robots_allowed")(spark, sf)),
 
+      ("WARC ingest: Content-Length framing in one map-only typed stage",
+        """Must hold: WARC shard → response rows is map-only — ONE
+          |parquet scan, typed stages only, no Exchange before the
+          |output sort. Framing is Content-Length-driven (never a
+          |delimiter scan) and per-record gzip members inflate inside
+          |the same stage, so a 1000-executor ingest of a 100 TB crawl
+          |is embarrassingly parallel with zero shuffle.""".stripMargin,
+        SparkEntry.queries("warc_extract")(spark, sf)),
+
       ("NB classifier: vocab-bounded model, WindowGroupLimit argmax",
         """Must hold: training shuffles only (label, term, count) rows —
           |vocab-bounded, never text; scoring joins the doc term counts

@@ -925,6 +925,53 @@ object SparkEntry {
         .orderBy(col("host"), col("path"), col("allowed"))
     }),
 
+    // WARC container ingest (ISO 28500) — per doc_id a three-record
+    // shard (warcinfo + request + response) is serialized by the WARC
+    // writer, half of them as per-record gzip members (the Common
+    // Crawl layout), then parsed back by the framing parser. The
+    // response body carries a CRLF-CRLF + "WARC/1.1" trap so only
+    // Content-Length-driven framing (never delimiter scans) survives;
+    // the oracle reconstructs every field from doc_id with no parsing.
+    "warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val url = s"http://w${id % 7}.example/p$id"
+          val date = s"2026-01-0${id % 9 + 1}T00:00:00Z"
+          val status = (id % 4) match {
+            case 0 => "404 Not Found"
+            case 1 => "301 Moved Permanently"
+            case _ => "200 OK"
+          }
+          val ctype = (id % 3) match {
+            case 0 => "text/plain"
+            case 1 => "text/html; charset=UTF-8"
+            case _ => "Text/HTML; CHARSET=\"iso-8859-1\""
+          }
+          val body = s"body $id\r\n\r\nWARC/1.1 trap"
+          val http = (s"HTTP/1.1 $status\r\nContent-Type: $ctype" +
+            s"\r\n\r\n$body").getBytes("UTF-8")
+          val recs =
+            ops.Warc.writeRecord("warcinfo",
+              Seq("WARC-Date" -> date),
+              "software: graft".getBytes("UTF-8")) ++
+            ops.Warc.writeRecord("request",
+              Seq("WARC-Target-URI" -> url, "WARC-Date" -> date),
+              s"GET /p$id HTTP/1.1".getBytes("UTF-8")) ++
+            ops.Warc.writeRecord("response",
+              Seq("WARC-Target-URI" -> url, "WARC-Date" -> date),
+              http)
+          if (id % 2 == 0) ops.Warc.gzipMember(recs) else recs
+        }
+        .toDF("blob")
+      ops.Warc.responses(blobs, "blob")
+        .select(col("url"), col("warc_date"), col("status"),
+          col("mime"), col("charset"), col("body"),
+          length(col("body")).cast("long").as("body_len"))
+        .orderBy(col("url"))
+    }),
+
     // vocabulary coverage report — the tokenizer-training question
     // "how much of the corpus do the top-N words cover": top-32 vocab
     // (count desc, word asc), cumulative counts, and integer-exact
@@ -1674,6 +1721,28 @@ object SparkEntry {
         |    ELSE TRUE END AS allowed,
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // warc twin: every field reconstructed from doc_id — no WARC
+    // parsing oracle-side; byte-exact body incl. the CRLF trap
+    "warc_extract" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'http://w' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+        |      || CAST(doc_id AS VARCHAR) AS url,
+        |    '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+        |      || 'T00:00:00Z' AS warc_date,
+        |    CASE doc_id % 4 WHEN 0 THEN 404 WHEN 1 THEN 301
+        |      ELSE 200 END AS status,
+        |    CASE doc_id % 3 WHEN 0 THEN 'text/plain'
+        |      ELSE 'text/html' END AS mime,
+        |    CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'utf-8'
+        |      ELSE 'iso-8859-1' END AS charset,
+        |    'body ' || CAST(doc_id AS VARCHAR) || chr(13) || chr(10)
+        |      || chr(13) || chr(10) || 'WARC/1.1 trap' AS body
+        |  FROM documents)
+        |SELECT url, warc_date, status, mime, charset, body,
+        |  CAST(length(body) AS BIGINT) AS body_len
+        |FROM f ORDER BY url""".stripMargin,
 
     // span-removal twin: zipped unnests give (pos, token) and
     // (pos, shingle); identical coverage + ordered reassembly

@@ -360,6 +360,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"permission evaluation must be a single typed stage:\n${planStr.take(2000)}")
   }
 
+  test("warc_extract: map-only framing — one scan, shuffle only to sort") {
+    val q = SparkEntry.queries("warc_extract")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1, "WARC ingest must read the shard once")
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF"))
+    val exchanges = planStr.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"framing+HTTP split must not shuffle (only the output sort may):\n${planStr.take(2000)}")
+  }
+
   test("ann_recall caches the brute-force ground truth (no 4x corpus scan)") {
     val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(df).map(_.toString).mkString("\n")
