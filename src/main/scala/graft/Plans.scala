@@ -278,6 +278,14 @@ object Plans {
           |shuffles to be permission-checked.""".stripMargin,
         SparkEntry.queries("robots_allowed")(spark, sf)),
 
+      ("head metadata: one typed tokenizer stage over the page column",
+        """Must hold: title/description/canonical/robots extraction is
+          |ONE typed map riding the scan — map-only, no Exchange before
+          |the output sort, no UDF; the output is a handful of short
+          |strings per row, so at 100 TB the only bytes that move are
+          |the index-grade fields, never the pages.""".stripMargin,
+        SparkEntry.queries("page_meta")(spark, sf)),
+
       ("WARC ingest: Content-Length framing in one map-only typed stage",
         """Must hold: WARC shard → response rows is map-only — ONE
           |parquet scan, typed stages only, no Exchange before the

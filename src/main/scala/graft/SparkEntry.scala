@@ -44,6 +44,45 @@ object SparkEntry {
       lit("</body></html>"))
   }
 
+  /** Synthesized head-metadata page: entity-bearing title (plus a
+    * duplicate-title trap), branchy description/robots/canonical/
+    * charset/og:title, a non-hreflang alternate trap, and id%3
+    * language alternates — all derived from doc_id so the DuckDB twin
+    * states the expected fields without parsing. */
+  private def metaTestPage: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<html><head><TITLE>Page &amp; "), id.cast("string"),
+      lit("</title>"),
+      when(id % 5 === 0, lit("<title>dup ignored</title>"))
+        .otherwise(lit("")),
+      lit("<base href=\"http://w"), (id % 7).cast("string"),
+      lit(".example/dir/\">"),
+      when(id % 3 =!= 0,
+        concat(lit("<meta name=Description content=\"Desc "),
+          id.cast("string"), lit("\">")))
+        .otherwise(lit("")),
+      when(id % 4 === 0, lit("<meta name=robots content=\"noindex, follow\">"))
+        .when(id % 4 === 1, lit("<meta name=ROBOTS content=NONE>"))
+        .when(id % 4 === 2, lit("<meta name=robots content=all>"))
+        .otherwise(lit("")),
+      when(id % 2 === 0,
+        concat(lit("<link rel=canonical href=\"http://c"),
+          (id % 7).cast("string"), lit(".example/p"), id.cast("string"),
+          lit("\">")))
+        .otherwise(lit("<meta charset=UTF-8>")),
+      when(id % 3 === 1,
+        concat(lit("<meta property=\"og:title\" content=\"Og "),
+          id.cast("string"), lit("\">")))
+        .otherwise(lit("")),
+      lit("<link rel=\"alternate stylesheet\" href=\"/s.css\">"),
+      when(id % 3 >= 1, lit("<link rel=alternate hreflang=fr href=\"/fr\">"))
+        .otherwise(lit("")),
+      when(id % 3 === 2, lit("<link rel=ALTERNATE hreflang=de href=\"/de\">"))
+        .otherwise(lit("")),
+      lit("</head><body>content</body></html>"))
+  }
+
   /** Flagship: main-content extraction over the synthesized corpus. */
   def entry(spark: SparkSession): DataFrame = {
     val corpus = CorpusGen.generate(spark, 500, partitions = 8).toDF()
@@ -972,6 +1011,18 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // head-metadata extraction through the real streaming tokenizer —
+    // title (RCDATA, entity-decoded, duplicate-title trap), meta
+    // description/robots (none shorthand), canonical, base, charset,
+    // og:title, hreflang alternate count. The oracle reconstructs
+    // every field from doc_id with no parsing oracle-side.
+    "page_meta" -> ((s, dir) =>
+      html.Meta.metaRows(
+          t(s, dir, "documents")
+            .select(col("doc_id"), metaTestPage.as("page_html")),
+          "doc_id", "page_html")
+        .orderBy(col("doc_id"))),
+
     // vocabulary coverage report — the tokenizer-training question
     // "how much of the corpus do the top-N words cover": top-32 vocab
     // (count desc, word asc), cumulative counts, and integer-exact
@@ -1721,6 +1772,27 @@ object SparkEntry {
         |    ELSE TRUE END AS allowed,
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // page-meta twin: expected head fields per synthesis branch — no
+    // HTML parsing oracle-side (certifies the real tokenizer path)
+    "page_meta" ->
+      """SELECT doc_id,
+        |  'Page & ' || CAST(doc_id AS VARCHAR) AS title,
+        |  CASE WHEN doc_id % 3 <> 0
+        |    THEN 'Desc ' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |    AS description,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'http://c' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+        |      || CAST(doc_id AS VARCHAR) ELSE '' END AS canonical,
+        |  'http://w' || CAST(doc_id % 7 AS VARCHAR) || '.example/dir/'
+        |    AS base_href,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'utf-8' ELSE '' END AS charset,
+        |  CASE WHEN doc_id % 3 = 1
+        |    THEN 'Og ' || CAST(doc_id AS VARCHAR) ELSE '' END AS og_title,
+        |  doc_id % 4 IN (0, 1) AS noindex,
+        |  doc_id % 4 = 1 AS nofollow,
+        |  CAST(doc_id % 3 AS INTEGER) AS n_alternates
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // warc twin: every field reconstructed from doc_id — no WARC
     // parsing oracle-side; byte-exact body incl. the CRLF trap

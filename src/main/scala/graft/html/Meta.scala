@@ -1,0 +1,128 @@
+package graft.html
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Head-metadata extraction from real HTML via the streaming tokenizer
+  * — the page-level fields a web corpus indexes next to the extracted
+  * text: `<title>`, meta description, canonical URL, `<base href>`,
+  * charset, Open Graph title, robots directives, alternate-language
+  * link count.
+  *
+  * Semantics (WHATWG-aligned): all fields are FIRST-wins (a second
+  * `<title>` or canonical never overrides the first, matching browser
+  * behavior); attribute names arrive lower-cased and values
+  * entity-decoded from the tokenizer; `<title>` content is RCDATA
+  * (markup inside is text) and is whitespace-collapsed; `rel` is a
+  * case-insensitive space-separated token list; robots directives are
+  * case-insensitive comma-separated tokens scanned for `noindex` /
+  * `nofollow` (the `none` shorthand implies both, per the original
+  * robots-meta convention).
+  *
+  * Scale shape: one typed map per document — map-only, rides the scan,
+  * no shuffle; the output is a handful of short strings per row.
+  */
+object Meta {
+
+  final case class PageMeta(
+    title: String, description: String, canonical: String,
+    baseHref: String, charset: String, ogTitle: String,
+    noindex: Boolean, nofollow: Boolean, nAlternates: Int)
+
+  private def collapseWs(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var inWs = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) inWs = true
+      else {
+        if (inWs && sb.nonEmpty) sb.append(' ')
+        inWs = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def attr(attrs: List[(String, String)], name: String): String =
+    attrs.collectFirst { case (k, v) if k == name => v }.getOrElse("")
+
+  private def relTokens(rel: String): Set[String] =
+    rel.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      .iterator.filter(_.nonEmpty).toSet
+
+  def extract(htmlText: String): PageMeta = {
+    var title: String = null
+    var desc: String = null
+    var canonical: String = null
+    var base: String = null
+    var charset: String = null
+    var ogTitle: String = null
+    var noindex = false
+    var nofollow = false
+    var nAlt = 0
+    var inTitle = false
+    val titleSb = new StringBuilder
+    HtmlTokenizer.tokenize(htmlText).foreach {
+      case HtmlTokenizer.StartTag("title", _, selfClosing) =>
+        if (title == null && !selfClosing) inTitle = true
+      case HtmlTokenizer.EndTag("title") =>
+        if (inTitle) { title = collapseWs(titleSb.toString); inTitle = false }
+      case HtmlTokenizer.Text(t) if inTitle => titleSb.append(t)
+      case HtmlTokenizer.StartTag("meta", attrs, _) =>
+        val name = attr(attrs, "name").toLowerCase(java.util.Locale.ROOT)
+        val content = attr(attrs, "content")
+        name match {
+          case "description" => if (desc == null && content.nonEmpty) desc = content
+          case "robots" =>
+            content.toLowerCase(java.util.Locale.ROOT).split(",")
+              .map(_.trim).foreach {
+                case "noindex" => noindex = true
+                case "nofollow" => nofollow = true
+                case "none" => noindex = true; nofollow = true
+                case _ => ()
+              }
+          case _ => ()
+        }
+        if (attr(attrs, "property")
+            .equalsIgnoreCase("og:title") && ogTitle == null &&
+          content.nonEmpty) ogTitle = content
+        val cs = attr(attrs, "charset")
+        if (cs.nonEmpty && charset == null)
+          charset = cs.toLowerCase(java.util.Locale.ROOT)
+      case HtmlTokenizer.StartTag("link", attrs, _) =>
+        val rel = relTokens(attr(attrs, "rel"))
+        val href = attr(attrs, "href")
+        if (rel.contains("canonical") && canonical == null && href.nonEmpty)
+          canonical = href
+        if (rel.contains("alternate") &&
+          attr(attrs, "hreflang").nonEmpty) nAlt += 1
+      case HtmlTokenizer.StartTag("base", attrs, _) =>
+        val href = attr(attrs, "href")
+        if (base == null && href.nonEmpty) base = href
+      case _ => ()
+    }
+    if (inTitle && title == null) title = collapseWs(titleSb.toString)
+    def nz(s: String) = if (s == null) "" else s
+    PageMeta(nz(title), nz(desc), nz(canonical), nz(base), nz(charset),
+      nz(ogTitle), noindex, nofollow, nAlt)
+  }
+
+  /** One row per document: the PageMeta fields as columns — one typed
+    * map, map-only. */
+  def metaRows(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(htmlCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, h) =>
+        val m = extract(Option(h).getOrElse(""))
+        (id, m.title, m.description, m.canonical, m.baseHref, m.charset,
+          m.ogTitle, m.noindex, m.nofollow, m.nAlternates)
+      }
+      .toDF(idCol, "title", "description", "canonical", "base_href",
+        "charset", "og_title", "noindex", "nofollow", "n_alternates")
+  }
+}

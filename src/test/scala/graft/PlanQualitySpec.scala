@@ -360,6 +360,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"permission evaluation must be a single typed stage:\n${planStr.take(2000)}")
   }
 
+  test("page_meta: one typed tokenizer stage, one scan, no UDF") {
+    val q = SparkEntry.queries("page_meta")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF"))
+    assert(planStr.linesIterator.count(_.contains("SerializeFromObject")) == 1,
+      s"head-metadata extraction must be a single typed stage:\n${planStr.take(2000)}")
+  }
+
   test("warc_extract: map-only framing — one scan, shuffle only to sort") {
     val q = SparkEntry.queries("warc_extract")(spark, "/root/testdata/sf0.001")
     assert(scans(q).length == 1, "WARC ingest must read the shard once")
