@@ -278,6 +278,15 @@ object Plans {
           |shuffles to be permission-checked.""".stripMargin,
         SparkEntry.queries("robots_allowed")(spark, sf)),
 
+      ("bloom seen-set: m/64-row bitmap broadcasts, codegen hashing",
+        """Must hold: the built bitmap is at most m/64 (word, bits)
+          |rows — it BROADCASTS to the probe side so the frontier is
+          |never shuffled to answer membership; build shuffles at most
+          |m/64 groups via partial bit_or; all hashing is integer
+          |column expressions inside WholeStageCodegen (no UDF, no
+          |typed detour). No false negatives by construction.""".stripMargin,
+        SparkEntry.queries("bloom_seen")(spark, sf)),
+
       ("head metadata: one typed tokenizer stage over the page column",
         """Must hold: title/description/canonical/robots extraction is
           |ONE typed map riding the scan — map-only, no Exchange before

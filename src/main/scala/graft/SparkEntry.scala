@@ -1011,6 +1011,29 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // Bloom-filter crawl seen-set — build over the seen keys (docs
+    // with doc_id%3 != 2), probe every doc plus a disjoint unseen
+    // band (+1e6). The (truly_seen, maybe_seen) contingency table is
+    // the contract: the (true,false) cell must be ABSENT (no false
+    // negatives by construction) and the FP band is whatever the
+    // identical modular double-hash yields — the oracle recomputes
+    // every bit.
+    "bloom_seen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") % 3 =!= 2)
+        .select(col("doc_id").as("key"))
+      val bitmap = ops.Bloom.build(seen, "key", mBits = 2048, k = 3)
+      val candidates = docs.select(col("doc_id").as("key"))
+        .union(docs.select((col("doc_id") + lit(1000000L)).as("key")))
+      ops.Bloom.probe(candidates, bitmap, "key", mBits = 2048, k = 3)
+        .withColumn("truly_seen",
+          col("key") % 3 =!= 2 && col("key") < 1000000L)
+        .groupBy(col("truly_seen"), col("maybe_seen"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("key")).cast("long").as("key_checksum"))
+        .orderBy(col("truly_seen"), col("maybe_seen"))
+    }),
+
     // head-metadata extraction through the real streaming tokenizer —
     // title (RCDATA, entity-decoded, duplicate-title trap), meta
     // description/robots (none shorthand), canonical, base, charset,
@@ -1772,6 +1795,35 @@ object SparkEntry {
         |    ELSE TRUE END AS allowed,
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // bloom twin: the identical Kirsch–Mitzenmacher modular double
+    // hash recomputed bit for bit in SQL — integer-exact
+    "bloom_seen" ->
+      """WITH seen AS (
+        |  SELECT doc_id AS key FROM documents WHERE doc_id % 3 <> 2),
+        |ii AS (SELECT unnest([0, 1, 2]) AS i),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    ((key * 2654435761) % 2048
+        |      + i * (1 + (key * 40503) % 2047)) % 2048 AS pos
+        |  FROM seen CROSS JOIN ii),
+        |cand AS (
+        |  SELECT doc_id AS key FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 FROM documents),
+        |cpos AS (
+        |  SELECT key,
+        |    ((key * 2654435761) % 2048
+        |      + i * (1 + (key * 40503) % 2047)) % 2048 AS pos
+        |  FROM cand CROSS JOIN ii),
+        |probe AS (
+        |  SELECT key, bool_and(b.pos IS NOT NULL) AS maybe_seen
+        |  FROM cpos LEFT JOIN bits b ON cpos.pos = b.pos
+        |  GROUP BY key)
+        |SELECT (key % 3 <> 2 AND key < 1000000) AS truly_seen,
+        |  maybe_seen, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(key) AS BIGINT) AS key_checksum
+        |FROM probe GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // page-meta twin: expected head fields per synthesis branch — no
     // HTML parsing oracle-side (certifies the real tokenizer path)

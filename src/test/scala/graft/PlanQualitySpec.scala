@@ -360,6 +360,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"permission evaluation must be a single typed stage:\n${planStr.take(2000)}")
   }
 
+  test("bloom_seen: bitmap broadcasts to the probe; pure codegen hashing") {
+    val q = SparkEntry.queries("bloom_seen")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"the m/64-row bitmap must broadcast, never shuffle the frontier:\n${planStr.take(2000)}")
+    assert(!planStr.contains("ScalaUDF"))
+    assert(!planStr.contains("SerializeFromObject"),
+      "bloom build/probe must stay in column expressions (codegen), no typed detour")
+  }
+
   test("page_meta: one typed tokenizer stage, one scan, no UDF") {
     val q = SparkEntry.queries("page_meta")(spark, "/root/testdata/sf0.001")
     assert(scans(q).length == 1)
