@@ -1011,6 +1011,41 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // sitemap parsing through the streaming tokenizer — one quarter of
+    // the docs carry a <sitemapindex> (kind=sitemap children), the
+    // rest a <urlset> with a full entry (entity-escaped loc, lastmod,
+    // changefreq, priority), an optional loc-only entry, and a
+    // loc-less trap entry that must drop. Oracle reconstructs every
+    // row from doc_id with no XML parsing.
+    "sitemap_entries" -> ((s, dir) => {
+      val id = col("doc_id")
+      val host = concat(lit("http://s"), (id % 7).cast("string"),
+        lit(".example/"))
+      val xml = when(id % 4 === 3,
+        concat(lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>"),
+          host, lit("s1.xml</loc><lastmod>2026-02-0"),
+          (id % 9 + 1).cast("string"),
+          lit("</lastmod></sitemap><sitemap><loc>"), host,
+          lit("s2.xml</loc></sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit("<?xml version=\"1.0\"?><urlset><url><loc>"), host,
+          lit("p?x=1&amp;y="), id.cast("string"),
+          lit("</loc><lastmod>2026-01-0"), (id % 9 + 1).cast("string"),
+          lit("</lastmod><changefreq>"),
+          when(id % 3 === 0, lit("daily"))
+            .when(id % 3 === 1, lit("weekly")).otherwise(lit("monthly")),
+          lit("</changefreq><priority>0."), (id % 10).cast("string"),
+          lit("</priority></url>"),
+          when(id % 2 === 0,
+            concat(lit("<url><loc>"), host, lit("q</loc></url>")))
+            .otherwise(lit("")),
+          lit("<url><lastmod>2026-01-01</lastmod></url></urlset>")))
+      html.Sitemap.entryRows(
+          t(s, dir, "documents").select(id, xml.as("sitemap_xml")),
+          "doc_id", "sitemap_xml")
+        .orderBy(col("doc_id"), col("loc"))
+    }),
+
     // Bloom-filter crawl seen-set — build over the seen keys (docs
     // with doc_id%3 != 2), probe every doc plus a disjoint unseen
     // band (+1e6). The (truly_seen, maybe_seen) contingency table is
@@ -1795,6 +1830,36 @@ object SparkEntry {
         |    ELSE TRUE END AS allowed,
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // sitemap twin: expected entries per synthesis branch — no XML
+    // parsing oracle-side (certifies the real tokenizer path)
+    "sitemap_entries" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    'http://s' || CAST(doc_id % 7 AS VARCHAR) || '.example/'
+        |      AS host
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, 'sitemap' AS kind, host || 's1.xml' AS loc,
+        |    '2026-02-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod,
+        |    '' AS changefreq, '' AS priority
+        |  FROM h WHERE doc_id % 4 = 3
+        |  UNION ALL
+        |  SELECT doc_id, 'sitemap', host || 's2.xml', '', '', ''
+        |  FROM h WHERE doc_id % 4 = 3
+        |  UNION ALL
+        |  SELECT doc_id, 'url',
+        |    host || 'p?x=1&y=' || CAST(doc_id AS VARCHAR),
+        |    '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR),
+        |    CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+        |      ELSE 'monthly' END,
+        |    '0.' || CAST(doc_id % 10 AS VARCHAR)
+        |  FROM h WHERE doc_id % 4 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, 'url', host || 'q', '', '', ''
+        |  FROM h WHERE doc_id % 4 <> 3 AND doc_id % 2 = 0)
+        |SELECT doc_id, kind, loc, lastmod, changefreq, priority
+        |FROM e ORDER BY doc_id, loc""".stripMargin,
 
     // bloom twin: the identical Kirsch–Mitzenmacher modular double
     // hash recomputed bit for bit in SQL — integer-exact

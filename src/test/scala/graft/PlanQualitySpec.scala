@@ -360,6 +360,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"permission evaluation must be a single typed stage:\n${planStr.take(2000)}")
   }
 
+  test("sitemap_entries: one typed tokenizer stage, one scan, no UDF") {
+    val q = SparkEntry.queries("sitemap_entries")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF"))
+    assert(planStr.linesIterator.count(_.contains("SerializeFromObject")) == 1,
+      s"sitemap explode must be a single typed stage:\n${planStr.take(2000)}")
+  }
+
   test("bloom_seen: bitmap broadcasts to the probe; pure codegen hashing") {
     val q = SparkEntry.queries("bloom_seen")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
