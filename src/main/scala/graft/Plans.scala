@@ -278,6 +278,15 @@ object Plans {
           |shuffles to be permission-checked.""".stripMargin,
         SparkEntry.queries("robots_allowed")(spark, sf)),
 
+      ("shard assignment: two-level prefix sum, no global window",
+        """Must hold: the corpus-grain window partitions by _bucket
+          |(parallel, ≤ bucketSize rows each); the ONLY
+          |Exchange SinglePartition in the plan is the exclusive
+          |cumsum over the N/bucketSize-row bucket table; bucket bases
+          |re-join as a broadcast. The naive sum().over(orderBy(id))
+          |— one task holding 100 TB — never appears.""".stripMargin,
+        SparkEntry.queries("shard_assign")(spark, sf)),
+
       ("bloom seen-set: m/64-row bitmap broadcasts, codegen hashing",
         """Must hold: the built bitmap is at most m/64 (word, bits)
           |rows — it BROADCASTS to the probe side so the frontier is

@@ -1011,6 +1011,19 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // byte-balanced shard assignment — global running offsets via the
+    // two-level prefix sum (per-bucket totals -> tiny exclusive-cumsum
+    // window -> broadcast bases -> per-bucket local windows), never a
+    // corpus-wide single-partition window. Oracle recomputes with the
+    // naive single window (correct at oracle scale, not at ours).
+    "shard_assign" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("b"))
+      ops.Shards.shardStats(
+        ops.Shards.assign(docs, "doc_id", "b",
+          targetBytes = 100000L, bucketSize = 64L), "doc_id")
+    }),
+
     // sitemap parsing through the streaming tokenizer — one quarter of
     // the docs carry a <sitemapindex> (kind=sitemap children), the
     // rest a <urlset> with a full entry (entity-escaped loc, lastmod,
@@ -1830,6 +1843,23 @@ object SparkEntry {
         |    ELSE TRUE END AS allowed,
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // shard twin: the naive single-window cumsum — fine at oracle
+    // scale, exactly what the two-level prefix sum must reproduce
+    "shard_assign" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bytes,
+        |    CAST(SUM(bytes) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - bytes AS start_off
+        |  FROM d)
+        |SELECT start_off // 100000 AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // sitemap twin: expected entries per synthesis branch — no XML
     // parsing oracle-side (certifies the real tokenizer path)

@@ -360,6 +360,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"permission evaluation must be a single typed stage:\n${planStr.take(2000)}")
   }
 
+  test("shard_assign: prefix sum is two-level — no corpus-wide single-partition window") {
+    val q = SparkEntry.queries("shard_assign")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.contains("hashpartitioning(_bucket"),
+      s"the data-grain window must partition by bucket:\n${planStr.take(2000)}")
+    assert(planStr.contains("BroadcastHashJoin"),
+      "bucket base offsets must broadcast back")
+    val single = planStr.linesIterator
+      .count(_.contains("Exchange SinglePartition"))
+    assert(single <= 1,
+      s"only the tiny bucket-table cumsum may single-partition ($single found)")
+  }
+
   test("sitemap_entries: one typed tokenizer stage, one scan, no UDF") {
     val q = SparkEntry.queries("sitemap_entries")(spark, "/root/testdata/sf0.001")
     assert(scans(q).length == 1)
