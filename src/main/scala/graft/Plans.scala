@@ -278,6 +278,15 @@ object Plans {
           |shuffles to be permission-checked.""".stripMargin,
         SparkEntry.queries("robots_allowed")(spark, sf)),
 
+      ("KMV distinct sketch: map-side bottom-k, bounded shuffle",
+        """Must hold: the bottom-k TypedImperativeAggregate plans as
+          |ObjectHashAggregate with a PARTIAL mode — each task ships at
+          |most k longs per group, so the shuffle is groups·k·8 bytes
+          |regardless of row count; no Window ever sees the key column.
+          |countDistinct stays exact beside it for the oracle's error
+          |accounting.""".stripMargin,
+        SparkEntry.queries("kmv_distinct")(spark, sf)),
+
       ("shard assignment: two-level prefix sum, no global window",
         """Must hold: the corpus-grain window partitions by _bucket
           |(parallel, ≤ bucketSize rows each); the ONLY

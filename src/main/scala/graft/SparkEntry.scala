@@ -1011,6 +1011,31 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // KMV distinct-count sketch (Bar-Yossef et al. 2002) via the
+    // custom bottom-k TypedImperativeAggregate — distinct users per
+    // event type with a groups·k·8-byte shuffle bound instead of
+    // moving every distinct key. The hash 1 + (u·C mod M) (M prime,
+    // C coprime) is a bijection on [0, M), so exact_distinct via the
+    // hash equals exact distinct users, and the estimate is
+    // integer-exact: (k-1)·M div h_k. Oracle recomputes both.
+    "kmv_distinct" -> ((s, dir) => {
+      graft.functions.GraftExtensions.register(s)
+      val M = 2147483647L // 2^31 - 1, prime
+      val K = 32
+      t(s, dir, "events")
+        .select(col("event_type"),
+          (pmod(col("user_id") * lit(2654435761L), lit(M)) + 1).as("h"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("h")).as("exact_distinct"),
+          expr(s"graft_bottomk(h, $K)").as("bk"))
+        .select(col("event_type"), col("n_events"), col("exact_distinct"),
+          when(size(col("bk")) < K, size(col("bk")).cast("long"))
+            .otherwise(expr(s"(${K - 1}L * ${M}L) div element_at(bk, $K)"))
+            .as("kmv_estimate"))
+        .orderBy(col("event_type"))
+    }),
+
     // byte-balanced shard assignment — global running offsets via the
     // two-level prefix sum (per-bucket totals -> tiny exclusive-cumsum
     // window -> broadcast bases -> per-bucket local windows), never a
@@ -1843,6 +1868,32 @@ object SparkEntry {
         |    ELSE TRUE END AS allowed,
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // kmv twin: bottom-k via a window (fine at oracle scale) + the
+    // identical integer estimate
+    "kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    1 + (user_id * 2654435761) % 2147483647 AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h),
+        |a AS (
+        |  SELECT event_type, CAST(MAX(nd) AS BIGINT) AS exact_distinct,
+        |    MAX(CASE WHEN rn = 32 THEN h END) AS h32
+        |  FROM r GROUP BY 1),
+        |e AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, e.n_events, a.exact_distinct,
+        |  CAST(CASE WHEN a.exact_distinct < 32 THEN a.exact_distinct
+        |    ELSE (CAST(31 AS BIGINT) * 2147483647) // a.h32
+        |    END AS BIGINT) AS kmv_estimate
+        |FROM e JOIN a ON e.event_type = a.event_type
+        |ORDER BY e.event_type""".stripMargin,
 
     // shard twin: the naive single-window cumsum — fine at oracle
     // scale, exactly what the two-level prefix sum must reproduce

@@ -84,6 +84,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineEntry)
     ext.injectFunction(NfcNormalize.entry)
+    ext.injectFunction(BottomK.entry)
   }
 }
 
@@ -97,7 +98,8 @@ object GraftExtensions {
 
   /** Imperative registration on an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    for ((id, info, builder) <- Seq(cosineEntry, NfcNormalize.entry))
+    for ((id, info, builder) <- Seq(cosineEntry, NfcNormalize.entry,
+        BottomK.entry))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 

@@ -360,6 +360,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"permission evaluation must be a single typed stage:\n${planStr.take(2000)}")
   }
 
+  test("kmv_distinct: bottom-k aggregates map-side, never a key-wide window") {
+    val q = SparkEntry.queries("kmv_distinct")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.contains("partial_graft_bottomk"),
+      s"the sketch must partial-aggregate map-side (k longs per group per task):\n${planStr.take(2000)}")
+    assert(!planStr.contains("Window"),
+      "distinct estimation must not move every key through a window")
+  }
+
   test("shard_assign: prefix sum is two-level — no corpus-wide single-partition window") {
     val q = SparkEntry.queries("shard_assign")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
