@@ -278,6 +278,15 @@ object Plans {
           |shuffles to be permission-checked.""".stripMargin,
         SparkEntry.queries("robots_allowed")(spark, sf)),
 
+      ("Count-Min heavy hitters: cells combine map-side, sketch broadcasts",
+        """Must hold: the d·w counter build partial-aggregates map-side
+          |(shuffle bounded by tasks·d·w cells, never row count); the
+          |finished sketch — at most d·w rows — BROADCASTS to the probe
+          |join; all hashing is integer column expressions inside
+          |WholeStageCodegen. Estimates can only overestimate; the
+          |overcount column is the measured collision mass.""".stripMargin,
+        SparkEntry.queries("cms_heavy_hitters")(spark, sf)),
+
       ("KMV distinct sketch: map-side bottom-k, bounded shuffle",
         """Must hold: the bottom-k TypedImperativeAggregate plans as
           |ObjectHashAggregate with a PARTIAL mode — each task ships at

@@ -1011,6 +1011,26 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // Count-Min heavy hitters — per-user event counts from a d·w
+    // counter sketch (min over d hashed counters: overestimate-only).
+    // The exact top-10 sits alongside so the overcount column is the
+    // measured collision mass; the oracle recomputes every counter
+    // with the identical pairwise-independent modular hashes.
+    "cms_heavy_hitters" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"))
+      val sketch = ops.CountMin.build(ev, "user_id", depth = 4, width = 1024)
+      val exact = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+      ops.CountMin.estimate(exact.select(col("user_id")), sketch,
+          "user_id", depth = 4, width = 1024)
+        .join(exact, "user_id")
+        .select(col("user_id"), col("exact_cnt"),
+          col("est").as("cms_est"),
+          (col("est") - col("exact_cnt")).as("overcount"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+    }),
+
     // KMV distinct-count sketch (Bar-Yossef et al. 2002) via the
     // custom bottom-k TypedImperativeAggregate — distinct users per
     // event type with a groups·k·8-byte shuffle bound instead of
@@ -1868,6 +1888,30 @@ object SparkEntry {
         |    ELSE TRUE END AS allowed,
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // cms twin: every counter recomputed with the identical modular
+    // hashes; min over the d cells per probed key
+    "cms_heavy_hitters" ->
+      """WITH c(r, a, b) AS (VALUES
+        |  (0, 2654435761, 97), (1, 40503, 1013904223),
+        |  (2, 2246822519, 374761393), (3, 3266489917, 668265263)),
+        |cell AS (
+        |  SELECT r, ((user_id * a + b) % 2147483647) % 1024 AS idx,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events CROSS JOIN c GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |  FROM events GROUP BY 1
+        |  ORDER BY exact_cnt DESC, user_id LIMIT 10),
+        |probe AS (
+        |  SELECT e.user_id, e.exact_cnt, MIN(cell.cnt) AS est
+        |  FROM exact e CROSS JOIN c
+        |  JOIN cell ON cell.r = c.r
+        |    AND cell.idx = ((e.user_id * c.a + c.b) % 2147483647) % 1024
+        |  GROUP BY 1, 2)
+        |SELECT user_id, exact_cnt, est AS cms_est,
+        |  est - exact_cnt AS overcount
+        |FROM probe ORDER BY exact_cnt DESC, user_id""".stripMargin,
 
     // kmv twin: bottom-k via a window (fine at oracle scale) + the
     // identical integer estimate

@@ -360,6 +360,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"permission evaluation must be a single typed stage:\n${planStr.take(2000)}")
   }
 
+  test("cms_heavy_hitters: sketch cells partial-aggregate; sketch broadcasts") {
+    val q = SparkEntry.queries("cms_heavy_hitters")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.contains("partial_count"),
+      s"cell counts must combine map-side (shuffle <= tasks*d*w):\n${planStr.take(2000)}")
+    assert(planStr.contains("BroadcastHashJoin"),
+      "the <= d*w-row sketch must broadcast to the probe")
+    assert(!planStr.contains("ScalaUDF") && !planStr.contains("SerializeFromObject"),
+      "hashing must stay in codegen column expressions")
+  }
+
   test("kmv_distinct: bottom-k aggregates map-side, never a key-wide window") {
     val q = SparkEntry.queries("kmv_distinct")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
