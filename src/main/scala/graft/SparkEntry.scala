@@ -1011,6 +1011,35 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // WHATWG charset sniffing — six synthesized byte branches walk
+    // the whole precedence chain: UTF-8 BOM, transport-declared
+    // cp1252, meta-prescan iso-8859-1, UTF-16LE BOM, bare latin-1
+    // bytes (invalid UTF-8 -> cp1252 fallback), and valid undeclared
+    // UTF-8. The oracle states decoded text + charset + decision per
+    // branch with no decoding oracle-side.
+    "charset_decode" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val (blob, declared) = (id % 6) match {
+            case 0 => (Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+              s"café €$id".getBytes("UTF-8"), "")
+            case 1 => (s"café €$id".getBytes("windows-1252"),
+              "windows-1252")
+            case 2 => (s"<meta charset=iso-8859-1>café $id"
+              .getBytes("ISO-8859-1"), "")
+            case 3 => (Array(0xFF, 0xFE).map(_.toByte) ++
+              s"page $id".getBytes("UTF-16LE"), "")
+            case 4 => (s"café $id".getBytes("ISO-8859-1"), "")
+            case _ => (s"café $id".getBytes("UTF-8"), "")
+          }
+          (id, blob, declared)
+        }
+        .toDF("doc_id", "blob", "declared")
+      ops.Encoding.decodeRows(blobs, "doc_id", "blob", "declared")
+        .orderBy(col("doc_id"))
+    }),
+
     // Count-Min heavy hitters — per-user event counts from a d·w
     // counter sketch (min over d hashed counters: overestimate-only).
     // The exact top-10 sits alongside so the overcount column is the
@@ -1888,6 +1917,27 @@ object SparkEntry {
         |    ELSE TRUE END AS allowed,
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // charset twin: expected text/charset/decision per branch — no
+    // byte decoding oracle-side
+    "charset_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'café €' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN 'café €' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN '<meta charset=iso-8859-1>café '
+        |      || CAST(doc_id AS VARCHAR)
+        |    WHEN 3 THEN 'page ' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'café ' || CAST(doc_id AS VARCHAR) END AS text,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+        |    WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'utf-16le'
+        |    WHEN 4 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'bom' WHEN 1 THEN 'declared' WHEN 2 THEN 'meta'
+        |    WHEN 3 THEN 'bom' WHEN 4 THEN 'fallback' ELSE 'utf8'
+        |    END AS how
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // cms twin: every counter recomputed with the identical modular
     // hashes; min over the d cells per probed key

@@ -360,6 +360,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"permission evaluation must be a single typed stage:\n${planStr.take(2000)}")
   }
 
+  test("charset_decode: map-only typed path, one scan, no UDF") {
+    val q = SparkEntry.queries("charset_decode")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF"))
+    val exchanges = planStr.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"decode must not shuffle (only the output sort may):\n${planStr.take(2000)}")
+  }
+
   test("cms_heavy_hitters: sketch cells partial-aggregate; sketch broadcasts") {
     val q = SparkEntry.queries("cms_heavy_hitters")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
