@@ -278,6 +278,22 @@ object Plans {
           |shuffles to be permission-checked.""".stripMargin,
         SparkEntry.queries("robots_allowed")(spark, sf)),
 
+      ("phrase search: term-filtered positional joins",
+        """Must hold: every join input is first filtered to ONE query
+          |term (df(term)-sized — prunable when postings are stored
+          |bucketed by term); the n−1 equi-joins key on (doc_id,
+          |aligned position); no cartesian product, and the corpus-
+          |sized postings stream itself never joins.""".stripMargin,
+        SparkEntry.queries("phrase_search")(spark, sf)),
+
+      ("politeness schedule: robots delays broadcast to host waves",
+        """Must hold: the domain-cardinality delay table (one typed
+          |parse of each robots.txt) BROADCASTS onto the frontier; the
+          |wave window partitions by host — the same key the fetcher
+          |shards by — so scheduling adds no extra shuffle beyond the
+          |host partitioning the fetch itself requires.""".stripMargin,
+        SparkEntry.queries("polite_schedule")(spark, sf)),
+
       ("Count-Min heavy hitters: cells combine map-side, sketch broadcasts",
         """Must hold: the d·w counter build partial-aggregates map-side
           |(shuffle bounded by tasks·d·w cells, never row count); the

@@ -1011,6 +1011,52 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // exact phrase search over positional postings — the trigram
+    // "slow hash batch" against the real corpus text; each join input
+    // filters to ONE term before the (doc, aligned-pos) equi-joins.
+    // The oracle reimplements phrase matching independently with
+    // zipped positional unnests.
+    "phrase_search" -> ((s, dir) =>
+      ops.Search.phraseMatch(
+          ops.Search.positionalPostings(
+            t(s, dir, "documents"), "doc_id", "text"),
+          Seq("slow", "hash", "batch"))
+        .orderBy(col("doc_id"))),
+
+    // robots-aware politeness schedule — the crawl-delay each host's
+    // robots.txt grants graftbot (specific group beats *, absent
+    // delay defaults to 1s, hosts with no robots default too) drives
+    // the per-host fetch waves. Composes Robots.crawlDelays with the
+    // wave window end to end; the oracle states the delay per branch
+    // and recomputes the schedule envelope.
+    "polite_schedule" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val robots = (0 until 6).map { h =>
+        val txt = (h % 3) match {
+          case 0 => s"User-agent: graftbot\nDisallow: /tmp/\n" +
+            s"Crawl-delay: ${h + 1}\n\nUser-agent: *\nCrawl-delay: 9\n"
+          case 1 => s"User-agent: *\nCrawl-delay: ${h + 2}\n"
+          case _ => "User-agent: *\nDisallow: /x/\n"
+        }
+        (s"h$h", txt)
+      }.toDF("host", "robots_txt")
+      val delays = ops.Robots.crawlDelays(robots, "host", "robots_txt",
+        "graftbot", defaultDelay = 1L)
+      val frontier = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 9).cast("string")).as("host"))
+      val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+      frontier.join(broadcast(delays), Seq("host"), "left")
+        .withColumn("delay_sec", coalesce(col("delay_sec"), lit(1L)))
+        .withColumn("wave0", row_number().over(w).cast("long") - 1)
+        .withColumn("fetch_at_sec", col("wave0") * col("delay_sec"))
+        .groupBy(col("host"), col("delay_sec"))
+        .agg(count(lit(1)).as("n_urls"),
+          max(col("fetch_at_sec")).as("makespan_sec"),
+          sum(col("fetch_at_sec")).cast("long").as("schedule_checksum"))
+        .orderBy(col("host"))
+    }),
+
     // WHATWG charset sniffing — six synthesized byte branches walk
     // the whole precedence chain: UTF-8 BOM, transport-declared
     // cp1252, meta-prescan iso-8859-1, UTF-16LE BOM, bare latin-1
@@ -1917,6 +1963,41 @@ object SparkEntry {
         |    ELSE TRUE END AS allowed,
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // phrase twin: independent positional reimplementation — zipped
+    // unnests, window-free
+    "phrase_search" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS a
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(a) - 2),
+        |      i -> CASE WHEN a[i+1] = 'slow' AND a[i+2] = 'hash'
+        |        AND a[i+3] = 'batch' THEN 1 ELSE 0 END)) AS hit
+        |  FROM d WHERE len(a) >= 3)
+        |SELECT doc_id, CAST(SUM(hit) AS BIGINT) AS n_occurrences
+        |FROM m GROUP BY 1 HAVING SUM(hit) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // polite-schedule twin: RFC-derived delay per host branch + the
+    // identical wave schedule
+    "polite_schedule" ->
+      """WITH f AS (
+        |  SELECT doc_id, 'h' || CAST(doc_id % 9 AS VARCHAR) AS host,
+        |    CAST(CASE doc_id % 9
+        |      WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+        |      WHEN 3 THEN 4 WHEN 4 THEN 6 WHEN 5 THEN 1
+        |      ELSE 1 END AS BIGINT) AS delay_sec
+        |  FROM documents),
+        |w AS (SELECT host, delay_sec,
+        |        CAST(row_number() OVER (PARTITION BY host
+        |          ORDER BY doc_id) AS BIGINT) - 1 AS wave0
+        |      FROM f)
+        |SELECT host, delay_sec, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(MAX(wave0 * delay_sec) AS BIGINT) AS makespan_sec,
+        |  CAST(SUM(wave0 * delay_sec) AS BIGINT) AS schedule_checksum
+        |FROM w GROUP BY 1, 2 ORDER BY host""".stripMargin,
 
     // charset twin: expected text/charset/decision per branch — no
     // byte decoding oracle-side

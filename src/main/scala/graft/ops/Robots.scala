@@ -119,6 +119,27 @@ object Robots {
     bestAllow
   }
 
+  /** robots(host, robots_txt) → (host, delay_sec): the crawl-delay
+    * RFC-group-selected for `ua`, defaulting when the matched groups
+    * carry none. Domain-cardinality output — broadcastable to the
+    * scheduler. One typed map. */
+  def crawlDelays(robots: DataFrame, hostCol: String,
+                  robotsTextCol: String, ua: String,
+                  defaultDelay: Long): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots
+      .select(col(hostCol).cast("string"),
+        col(robotsTextCol).cast("string"))
+      .as[(String, String)]
+      .map { case (host, txt) =>
+        val delay = rulesFor(Option(txt).getOrElse(""), ua)._2
+          .getOrElse(defaultDelay)
+        (host, delay)
+      }
+      .toDF("host", "delay_sec")
+  }
+
   /** frontier(host, path) × robots(host, robots_txt) → (host, path,
     * allowed). Missing robots = allowed. One typed mapPartitions with
     * a per-partition parse memo. */

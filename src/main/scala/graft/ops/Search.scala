@@ -86,4 +86,40 @@ object Search {
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Positional postings: (term, doc_id, pos) with pos the 0-based
+    * index in the RAW whitespace token stream — no length filter here,
+    * because phrase adjacency is positional and must see every token. */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(split(lower(col(textCol)), " ", -1)))
+      .select(col("col").as("term"), col("doc_id"),
+        col("pos").cast("long").as("pos"))
+
+  /** Exact phrase match over positional postings: docs containing the
+    * terms at consecutive positions, with the occurrence count.
+    *
+    * Scale shape: each join input is first FILTERED to one query term
+    * (df(term_i) rows — prunable when postings are stored partitioned
+    * or bucketed by term), then the n−1 equi-joins key on (doc_id,
+    * aligned position); the corpus-sized postings stream itself never
+    * joins. Overlapping occurrences each count ("big big data" matches
+    * "big data" once; "big data big data" twice). */
+  def phraseMatch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatch needs at least one term")
+    val first = postings.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (t, i)) =>
+        val p = postings.where(col("term") === t)
+          .select(col("doc_id").as(s"_d$i"),
+            (col("pos") - lit(i.toLong)).as(s"_p$i"))
+        acc.join(p, col("doc_id") === col(s"_d$i") &&
+            col("pos") === col(s"_p$i"))
+          .select(col("doc_id"), col("pos"))
+    }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
 }

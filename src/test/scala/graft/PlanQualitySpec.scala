@@ -360,6 +360,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"permission evaluation must be a single typed stage:\n${planStr.take(2000)}")
   }
 
+  test("phrase_search: join inputs are term-filtered, never cartesian") {
+    val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("CartesianProduct"))
+    assert(planStr.contains("= slow") && planStr.contains("= batch"),
+      s"each join input must filter to its term before joining:\n${planStr.take(2000)}")
+  }
+
+  test("polite_schedule: delays broadcast; wave window keys on host") {
+    val q = SparkEntry.queries("polite_schedule")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"domain-cardinality delays must broadcast:\n${planStr.take(2000)}")
+    assert(planStr.contains("hashpartitioning(host"),
+      "the schedule window must partition by the fetcher's host shard key")
+  }
+
   test("charset_decode: map-only typed path, one scan, no UDF") {
     val q = SparkEntry.queries("charset_decode")(spark, "/root/testdata/sf0.001")
     assert(scans(q).length == 1)

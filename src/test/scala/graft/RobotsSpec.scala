@@ -59,6 +59,22 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.isAllowed(Robots.rulesFor(t, "other")._1, "/any"))
   }
 
+  test("crawlDelays: group-selected delay, default when absent") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: graftbot\nCrawl-delay: 5\n\n" +
+        "User-agent: *\nCrawl-delay: 9"),
+      ("b.com", "User-agent: *\nCrawl-delay: 2"),
+      ("c.com", "User-agent: *\nDisallow: /x/")
+    ).toDF("host", "robots_txt")
+    val got = Robots.crawlDelays(robots, "host", "robots_txt",
+        "graftbot", defaultDelay = 1L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a.com" -> 5L, "b.com" -> 2L, "c.com" -> 1L),
+      "specific group's delay beats *; groups without one default")
+  }
+
   test("allowedFlags: per-host evaluation, missing robots allows") {
     val spark = SparkTestBase.spark
     import spark.implicits._

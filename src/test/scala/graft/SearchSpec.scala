@@ -68,4 +68,29 @@ class SearchSpec extends AnyFunSuite {
       Seq("red", "dog"), 10).as[(Long, Long, Long)].collect().toSeq
     assert(a == b)
   }
+
+  test("phraseMatch: consecutive positions only, overlaps count") {
+    val pdocs = Seq(
+      (1L, "big data big data pipeline"),   // "big data" twice
+      (2L, "big big data"),                 // once, after a decoy
+      (3L, "data big"),                     // reversed: no match
+      (4L, "big and data"),                 // gap: no match
+      (5L, "Big Data")                      // case-folds: once
+    ).toDF("doc_id", "text")
+    val post = Search.positionalPostings(pdocs, "doc_id", "text")
+    val got = Search.phraseMatch(post, Seq("big", "data"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 5L -> 1L))
+    // trigram across the same stream
+    val tri = Search.phraseMatch(post, Seq("big", "data", "pipeline"))
+      .as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 1L))
+  }
+
+  test("phraseMatch never matches across documents") {
+    val pdocs = Seq((1L, "alpha big"), (2L, "data beta"))
+      .toDF("doc_id", "text")
+    val post = Search.positionalPostings(pdocs, "doc_id", "text")
+    assert(Search.phraseMatch(post, Seq("big", "data")).count() == 0L)
+  }
 }
