@@ -1011,6 +1011,34 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // DOM template clustering — three synthesized CMS templates with
+    // per-doc varying text, attribute values, and tag case (all
+    // invariant traps: they must not move the fingerprint); pages
+    // group by the rolling tag-structure hash. The oracle recomputes
+    // the identical polynomial over the literal structure strings.
+    "template_clusters" -> ((s, dir) => {
+      val id = col("doc_id")
+      val page = when(id % 3 === 0, concat(
+          lit("<html><head><title>T"), id.cast("string"),
+          lit("</title></head><body class=c"), id.cast("string"),
+          lit("><p>text "), id.cast("string"), lit("</p></body></html>")))
+        .when(id % 3 === 1, concat(
+          lit("<HTML><BODY><div id=d"), id.cast("string"),
+          lit("><ul><li>item "), id.cast("string"),
+          lit("</li></ul></div></BODY></HTML>")))
+        .otherwise(concat(
+          lit("<html><body><table><tr><td><span>"), id.cast("string"),
+          lit("</span></td></tr></table></body></html>")))
+      html.Template.templateRows(
+          t(s, dir, "documents").select(id, page.as("page_html")),
+          "doc_id", "page_html")
+        .groupBy(col("template_hash"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("doc_checksum"),
+          max(col("n_tags")).as("n_tags"))
+        .orderBy(col("template_hash"))
+    }),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -1963,6 +1991,31 @@ object SparkEntry {
         |    ELSE TRUE END AS allowed,
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // template twin: the identical rolling hash via list_reduce over
+    // the literal structure strings — integer-exact
+    "template_clusters" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN
+        |        'html>head>title>/title>/head>body>p>/p>/body>/html'
+        |      WHEN 1 THEN
+        |        'html>body>div>ul>li>/li>/ul>/div>/body>/html'
+        |      ELSE 'html>body>table>tr>td>span>/span>/td>/tr>'
+        |        || '/table>/body>/html' END AS s,
+        |    CAST(CASE doc_id % 3 WHEN 2 THEN 6 ELSE 5 END AS BIGINT)
+        |      AS n_tags
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_tags,
+        |    list_reduce(list_transform(range(1, length(s) + 1),
+        |        i -> CAST(ord(substr(s, i, 1)) AS BIGINT)),
+        |      (a, b) -> (a * 131 + b) % 2147483647) AS template_hash
+        |  FROM fp)
+        |SELECT template_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS doc_checksum, MAX(n_tags) AS n_tags
+        |FROM h GROUP BY 1 ORDER BY template_hash""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

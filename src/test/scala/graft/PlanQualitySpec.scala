@@ -360,6 +360,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"permission evaluation must be a single typed stage:\n${planStr.take(2000)}")
   }
 
+  test("template_clusters: one typed fingerprint stage; hash-only shuffle") {
+    val q = SparkEntry.queries("template_clusters")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF"))
+    assert(planStr.linesIterator.count(_.contains("SerializeFromObject")) == 1,
+      s"fingerprinting must be a single typed stage:\n${planStr.take(2000)}")
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
