@@ -294,6 +294,14 @@ object Plans {
           |host partitioning the fetch itself requires.""".stripMargin,
         SparkEntry.queries("polite_schedule")(spark, sf)),
 
+      ("fuzzy titles: blocked Levenshtein, quadratic term bounded by block",
+        """Must hold: the self-join keys on the 6-char prefix block
+          |(equi-join — never a cartesian or nested-loop), id1 < id2
+          |halves candidates, and the native codegen `levenshtein`
+          |runs only on block-local pairs; block sizes — not corpus
+          |size — bound the O(n²) term at 100 TB.""".stripMargin,
+        SparkEntry.queries("fuzzy_titles")(spark, sf)),
+
       ("Count-Min heavy hitters: cells combine map-side, sketch broadcasts",
         """Must hold: the d·w counter build partial-aggregates map-side
           |(shuffle bounded by tasks·d·w cells, never row count); the

@@ -1039,6 +1039,31 @@ object SparkEntry {
         .orderBy(col("template_hash"))
     }),
 
+    // blocked fuzzy title dedup — eight deterministic title variants
+    // per 8-doc group behind a zero-padded 6-char group prefix (the
+    // block key); candidate pairs form ONLY inside the block, and
+    // survive at native Levenshtein distance <= 2. The oracle
+    // reimplements blocking + levenshtein independently in DuckDB
+    // (identical classic edit-distance semantics both engines).
+    "fuzzy_titles" -> ((s, dir) => {
+      val id = col("doc_id")
+      val title = concat(
+        lpad(expr("doc_id div 8").cast("string"), 6, "0"),
+        when(id % 8 === 0, lit(" widget pro"))
+          .when(id % 8 === 1, lit(" widget pros"))
+          .when(id % 8 === 2, lit(" widget pro x"))
+          .when(id % 8 === 3, lit(" widget deluxe kit"))
+          .when(id % 8 === 4, lit(" gadget pro"))
+          .when(id % 8 === 5, lit(" gadget pros"))
+          .when(id % 8 === 6, lit(" alpha beta gamma"))
+          .otherwise(lit(" alpha beta gamm")))
+      ops.FuzzyTitle.nearDupPairs(
+          t(s, dir, "documents").select(id, title.as("title")),
+          "doc_id", "title", maxDist = 2)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -2016,6 +2041,30 @@ object SparkEntry {
         |SELECT template_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(doc_id) AS BIGINT) AS doc_checksum, MAX(n_tags) AS n_tags
         |FROM h GROUP BY 1 ORDER BY template_hash""".stripMargin,
+
+    // fuzzy-title twin: independent blocking + DuckDB's native
+    // levenshtein (classic edit distance, same semantics as Spark's)
+    "fuzzy_titles" ->
+      """WITH ttl AS (
+        |  SELECT doc_id,
+        |    lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') ||
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN ' widget pro'
+        |      WHEN 1 THEN ' widget pros'
+        |      WHEN 2 THEN ' widget pro x'
+        |      WHEN 3 THEN ' widget deluxe kit'
+        |      WHEN 4 THEN ' gadget pro'
+        |      WHEN 5 THEN ' gadget pros'
+        |      WHEN 6 THEN ' alpha beta gamma'
+        |      ELSE ' alpha beta gamm' END AS title
+        |  FROM documents),
+        |b AS (SELECT doc_id, title, lower(substr(title, 1, 6)) AS blk
+        |      FROM ttl)
+        |SELECT x.doc_id AS id1, y.doc_id AS id2,
+        |  CAST(levenshtein(x.title, y.title) AS BIGINT) AS dist
+        |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |WHERE levenshtein(x.title, y.title) <= 2
+        |ORDER BY id1, id2""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

@@ -369,6 +369,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"fingerprinting must be a single typed stage:\n${planStr.take(2000)}")
   }
 
+  test("fuzzy_titles: block-keyed equi-join, native levenshtein") {
+    val q = SparkEntry.queries("fuzzy_titles")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("CartesianProduct") &&
+        !planStr.contains("BroadcastNestedLoopJoin"),
+      s"pairs must form only inside prefix blocks (equi-join):\n${planStr.take(2000)}")
+    assert(!planStr.contains("ScalaUDF"))
+    assert(planStr.contains("levenshtein"),
+      "distance must be the native codegen levenshtein expression")
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
