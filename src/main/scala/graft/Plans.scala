@@ -294,6 +294,14 @@ object Plans {
           |host partitioning the fetch itself requires.""".stripMargin,
         SparkEntry.queries("polite_schedule")(spark, sf)),
 
+      ("publication dates: precedence chain rides the scan, map-only",
+        """Must hold: the whole htmldate-style cascade (og > microdata >
+          |meta date > time element > URL path) is ONE typed map riding
+          |the corpus scan — no shuffle, no UDF; at 100 TB date
+          |extraction adds zero exchanges to the metadata pass it
+          |shares with `Meta.metaRows`.""".stripMargin,
+        SparkEntry.queries("pub_dates")(spark, sf)),
+
       ("fuzzy titles: blocked Levenshtein, quadratic term bounded by block",
         """Must hold: the self-join keys on the 6-char prefix block
           |(equi-join — never a cartesian or nested-loop), id1 < id2

@@ -1064,6 +1064,49 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // publication-date extraction — seven synthesized branches walk
+    // the whole htmldate-style precedence chain (og article >
+    // microdata > meta date > time element > URL path > none) with
+    // validation-fallthrough traps: invalid month 13, non-leap
+    // 2021-02-29, first-wins duplicate metas, attr-less <time>,
+    // slash-format dates, month-only URL day default. The oracle
+    // states date + winning source per branch with no date logic
+    // oracle-side.
+    "pub_dates" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val dd = f"${id % 28 + 1}%02d"
+          val (url, page) = (id % 7) match {
+            case 0 => (s"http://h0.example/a$id",
+              "<html><head><meta property=\"article:published_time\" " +
+                s"""content="2023-07-${dd}T08:30:00Z"></head>""" +
+                "<body>x</body></html>")
+            case 1 => (s"http://h1.example/a$id",
+              """<meta property="article:published_time" content="2023-13-05">""" +
+                """<meta itemprop="datePublished" content="2021-02-28">""" +
+                """<meta itemprop="datePublished" content="1999-01-01">""")
+            case 2 => (s"http://h2.example/a$id",
+              """<meta name="DATE" content="2019/03/09">""" +
+                """<meta name="date" content="2001-01-01">""")
+            case 3 => (s"http://h3.example/a$id",
+              "<time>not this</time>" +
+                """<time datetime="2020-02-29T12:00:00">leap</time>""")
+            case 4 => (s"http://h4.example/blog/2018/11/$dd/post-$id.html",
+              "<p>plain page</p>")
+            case 5 => (s"http://h5.example/page?id=$id",
+              """<meta property="article:published_time" content="not a date">""" +
+                """<time datetime="2021-02-29">bad leap</time>""")
+            case _ => (s"http://h6.example/archive/2017/06/",
+              "<time>2000-01-01</time>")
+          }
+          (id, url, page)
+        }
+        .toDF("doc_id", "url", "page_html")
+      html.PubDate.pubDateRows(rows, "doc_id", "url", "page_html")
+        .orderBy(col("doc_id"))
+    }),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -2065,6 +2108,28 @@ object SparkEntry {
         |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
         |WHERE levenshtein(x.title, y.title) <= 2
         |ORDER BY id1, id2""".stripMargin,
+
+    // pub-date twin: expected date + winning source per branch — no
+    // date parsing or precedence logic oracle-side
+    "pub_dates" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN '2023-07-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    WHEN 1 THEN '2021-02-28'
+        |    WHEN 2 THEN '2019-03-09'
+        |    WHEN 3 THEN '2020-02-29'
+        |    WHEN 4 THEN '2018-11-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    WHEN 5 THEN ''
+        |    ELSE '2017-06-01' END AS pub_date,
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN 'og_article'
+        |    WHEN 1 THEN 'microdata'
+        |    WHEN 2 THEN 'meta_date'
+        |    WHEN 3 THEN 'time_elem'
+        |    WHEN 4 THEN 'url_path'
+        |    WHEN 5 THEN 'none'
+        |    ELSE 'url_path' END AS source
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free
