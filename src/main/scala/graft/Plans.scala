@@ -302,6 +302,14 @@ object Plans {
           |shares with `Meta.metaRows`.""".stripMargin,
         SparkEntry.queries("pub_dates")(spark, sf)),
 
+      ("html -> markdown: render rides the scan, map-only",
+        """Must hold: tokenizer + DOM build + markdown render is ONE
+          |typed map riding the corpus scan — no shuffle, no UDF;
+          |recursion depth is bounded by DomBuilder.MaxDepth so a
+          |pathological page can't overflow an executor stack at
+          |100 TB.""".stripMargin,
+        SparkEntry.queries("html_markdown")(spark, sf)),
+
       ("fuzzy titles: blocked Levenshtein, quadratic term bounded by block",
         """Must hold: the self-join keys on the 6-char prefix block
           |(equi-join — never a cartesian or nested-loop), id1 < id2

@@ -1107,6 +1107,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // HTML -> Markdown rendering — six synthesized branches cover the
+    // whole pinned dialect: headings + inline markup + links (with a
+    // head-drop trap), nested lists, blockquote + hr, fenced raw pre
+    // (entity trap), GFM pipe table, and script/style/br/img traps.
+    // The oracle states the expected markdown byte-exact per branch
+    // with chr(10) joins — no HTML logic oracle-side.
+    "html_markdown" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val page = (id % 6) match {
+            case 0 => "<html><head><title>drop me</title></head><body>" +
+              s"<h1>Doc $id</h1><p>Hello <strong>bold</strong> and " +
+              "<em>it</em> plus <code>x=1</code>, see " +
+              "<a href=\"http://e/1\">link</a>.</p><h2>Sect</h2></body></html>"
+            case 1 => "<ol><li>first</li><li>second<ul><li>sub a</li>" +
+              s"<li>sub b</li></ul></li><li>third $id</li></ol>"
+            case 2 => "<blockquote><p>quoted one</p><p>quoted two " +
+              s"$id</p></blockquote><hr><p>after</p>"
+            case 3 => s"<pre>if (a &lt; b) {\n  run($id);\n}</pre>"
+            case 4 => "<table><thead><tr><th>k</th><th>v</th></tr>" +
+              s"</thead><tbody><tr><td>a</td><td>$id</td></tr>" +
+              "<tr><td>b</td><td>9</td></tr></tbody></table>"
+            case _ => "<script>var x = \"<p>no</p>\";</script>" +
+              "<style>p{}</style><p>line one<br>line two</p>" +
+              s"<p><img src=\"http://e/i.png\" alt=\"pic $id\"> tail</p>"
+          }
+          (id, page)
+        }
+        .toDF("doc_id", "page_html")
+      html.Markdown.markdownRows(rows, "doc_id", "page_html")
+        .orderBy(col("doc_id"))
+    }),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -2129,6 +2163,31 @@ object SparkEntry {
         |    WHEN 4 THEN 'url_path'
         |    WHEN 5 THEN 'none'
         |    ELSE 'url_path' END AS source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // markdown twin: expected markdown stated byte-exact per branch
+    // (chr(10) line joins) — no HTML logic oracle-side
+    "html_markdown" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN '# Doc ' || doc_id || chr(10) || chr(10) ||
+        |      'Hello **bold** and *it* plus `x=1`, see ' ||
+        |      '[link](http://e/1).' || chr(10) || chr(10) || '## Sect'
+        |    WHEN 1 THEN '1. first' || chr(10) || '2. second' || chr(10) ||
+        |      '  - sub a' || chr(10) || '  - sub b' || chr(10) ||
+        |      '3. third ' || doc_id
+        |    WHEN 2 THEN '> quoted one' || chr(10) || '>' || chr(10) ||
+        |      '> quoted two ' || doc_id || chr(10) || chr(10) ||
+        |      '---' || chr(10) || chr(10) || 'after'
+        |    WHEN 3 THEN '```' || chr(10) || 'if (a < b) {' || chr(10) ||
+        |      '  run(' || doc_id || ');' || chr(10) || '}' ||
+        |      chr(10) || '```'
+        |    WHEN 4 THEN '| k | v |' || chr(10) || '| --- | --- |' ||
+        |      chr(10) || '| a | ' || doc_id || ' |' || chr(10) ||
+        |      '| b | 9 |'
+        |    ELSE 'line one' || chr(10) || 'line two' || chr(10) ||
+        |      chr(10) || '![pic ' || doc_id || '](http://e/i.png) tail'
+        |    END AS markdown
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped

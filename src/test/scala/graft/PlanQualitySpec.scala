@@ -391,6 +391,17 @@ class PlanQualitySpec extends AnyFunSuite {
         s"exchange):\n${planStr.take(2000)}")
   }
 
+  test("html_markdown: map-only typed path, one scan, no UDF") {
+    val q = SparkEntry.queries("html_markdown")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF"))
+    val exchanges = planStr.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"markdown rendering must ride the scan (only the orderBy may " +
+        s"exchange):\n${planStr.take(2000)}")
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
