@@ -310,6 +310,14 @@ object Plans {
           |100 TB.""".stripMargin,
         SparkEntry.queries("html_markdown")(spark, sf)),
 
+      ("json-ld: typed extraction only, JSON paths stay codegen",
+        """Must hold: the typed flatMap does ONLY what Catalyst can't
+          |(tokenizer-driven block extraction); every JSON path is a
+          |codegen get_json_object on the blob column — malformed JSON
+          |degrades to NULL, nothing throws, and no hand-rolled JSON
+          |parser sits on the 100 TB hot path.""".stripMargin,
+        SparkEntry.queries("jsonld_meta")(spark, sf)),
+
       ("fuzzy titles: blocked Levenshtein, quadratic term bounded by block",
         """Must hold: the self-join keys on the 6-char prefix block
           |(equi-join — never a cartesian or nested-loop), id1 < id2

@@ -1141,6 +1141,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // JSON-LD structured data — five branches: NewsArticle block,
+    // two blocks in order (Product + NewsArticle), case-insensitive
+    // type attr with a non-ld application/json decoy, no block (no
+    // rows), malformed JSON (NULL fields, row survives). JSON paths
+    // evaluate in codegen get_json_object; the oracle states every
+    // field per branch and computes blob_len from the literal string
+    // — no JSON parsing oracle-side.
+    "jsonld_meta" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          def ld(body: String) =
+            s"""<script type="application/ld+json">$body</script>"""
+          val page = (id % 5) match {
+            case 0 => "<html><body>" + ld(
+              s"""{"@type":"NewsArticle","headline":"Story $id",""" +
+                """"datePublished":"2022-05-06",""" +
+                """"author":{"name":"A. Writer"}}""") +
+              "<p>body</p></body></html>"
+            case 1 => ld("""{"@type":"Product","name":"Widget"}""") +
+              ld(s"""{"@type":"NewsArticle","headline":"Second $id",""" +
+                """"author":{"name":"B"}}""")
+            case 2 => """<script type="application/json">{"not":"ld"}""" +
+              "</script>" +
+              "<script type=\" APPLICATION/LD+JSON \">" +
+              s"""{"@type":"BlogPosting","headline":"Up $id",""" +
+              """"datePublished":"2021-01-02","author":{"name":"C"}}""" +
+              "</script>"
+            case 3 => "<p>no structured data</p>"
+            case _ => ld("{broken")
+          }
+          (id, page)
+        }
+        .toDF("doc_id", "page_html")
+      html.JsonLd.articleRows(rows, "doc_id", "page_html")
+        .orderBy(col("doc_id"), col("block_idx"))
+    }),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -2189,6 +2227,41 @@ object SparkEntry {
         |      chr(10) || '![pic ' || doc_id || '](http://e/i.png) tail'
         |    END AS markdown
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // jsonld twin: fields stated per branch; blob_len computed from
+    // the literal blob string — no JSON parsing oracle-side
+    "jsonld_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id, 0 AS block_idx,
+        |    '{"@type":"NewsArticle","headline":"Story ' || doc_id ||
+        |      '","datePublished":"2022-05-06","author":{"name":"A. Writer"}}'
+        |      AS blob,
+        |    'NewsArticle' AS ld_type, 'Story ' || doc_id AS headline,
+        |    '2022-05-06' AS date_published, 'A. Writer' AS author_name
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 0, '{"@type":"Product","name":"Widget"}',
+        |    'Product', NULL, NULL, NULL
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    '{"@type":"NewsArticle","headline":"Second ' || doc_id ||
+        |      '","author":{"name":"B"}}',
+        |    'NewsArticle', 'Second ' || doc_id, NULL, 'B'
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 0,
+        |    '{"@type":"BlogPosting","headline":"Up ' || doc_id ||
+        |      '","datePublished":"2021-01-02","author":{"name":"C"}}',
+        |    'BlogPosting', 'Up ' || doc_id, '2021-01-02', 'C'
+        |  FROM documents WHERE doc_id % 5 = 2
+        |  UNION ALL
+        |  SELECT doc_id, 0, '{broken', NULL, NULL, NULL, NULL
+        |  FROM documents WHERE doc_id % 5 = 4)
+        |SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, ld_type,
+        |  headline, date_published, author_name,
+        |  CAST(length(blob) AS BIGINT) AS blob_len
+        |FROM b ORDER BY doc_id, block_idx""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

@@ -402,6 +402,16 @@ class PlanQualitySpec extends AnyFunSuite {
         s"exchange):\n${planStr.take(2000)}")
   }
 
+  test("jsonld_meta: typed flatMap + codegen JSON paths, no UDF") {
+    val q = SparkEntry.queries("jsonld_meta")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF"))
+    assert(planStr.contains("get_json_object"),
+      s"JSON paths must be codegen expressions, not typed-map logic:\n" +
+        planStr.take(2000))
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
