@@ -318,6 +318,13 @@ object Plans {
           |parser sits on the 100 TB hot path.""".stripMargin,
         SparkEntry.queries("jsonld_meta")(spark, sf)),
 
+      ("readability: pure codegen signal, no UDF",
+        """Must hold: Flesch / Flesch-Kincaid milli scores are nothing
+          |but regexp_count + integer arithmetic inside
+          |WholeStageCodegen — no UDF, no typed map, no shuffle; the
+          |cheapest curation signal stays free at 100 TB.""".stripMargin,
+        SparkEntry.queries("readability")(spark, sf)),
+
       ("fuzzy titles: blocked Levenshtein, quadratic term bounded by block",
         """Must hold: the self-join keys on the 6-char prefix block
           |(equi-join — never a cartesian or nested-loop), id1 < id2

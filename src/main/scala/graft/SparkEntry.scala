@@ -1179,6 +1179,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("block_idx"))
     }),
 
+    // readability over the REAL corpus text — Flesch reading ease +
+    // Flesch-Kincaid grade in integer milli-units (pinned counting
+    // heuristics; pure codegen regexp_count + integer div). The
+    // oracle reimplements every count and both formulas independently
+    // in DuckDB (RE2 regexes, // division) — byte-exact.
+    "readability" -> ((s, dir) =>
+      ops.Readability.withReadability(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text")
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("flesch_milli"), col("fk_milli"))
+        .orderBy(col("doc_id"))),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -2262,6 +2275,29 @@ object SparkEntry {
         |  headline, date_published, author_name,
         |  CAST(length(blob) AS BIGINT) AS blob_len
         |FROM b ORDER BY doc_id, block_idx""".stripMargin,
+
+    // readability twin: independent DuckDB reimplementation of every
+    // count and both integer milli formulas
+    "readability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(text, '(?i)[aeiouy]+')) +
+        |         len(regexp_extract_all(text,
+        |           '(?i)\b[b-df-hj-np-tv-xz]+\b')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |    ELSE 206835 - (1015 * n_words) // n_sentences
+        |       - (84600 * n_syllables) // n_words END AS flesch_milli,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |    ELSE (390 * n_words) // n_sentences
+        |       + (11800 * n_syllables) // n_words - 15590 END AS fk_milli
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

@@ -412,6 +412,18 @@ class PlanQualitySpec extends AnyFunSuite {
         planStr.take(2000))
   }
 
+  test("readability: pure codegen expressions, no UDF, no typed map") {
+    val q = SparkEntry.queries("readability")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF") &&
+      !planStr.contains("SerializeFromObject"),
+      s"readability must be column expressions riding the scan:\n" +
+        planStr.take(2000))
+    val exchanges = planStr.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1)
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
