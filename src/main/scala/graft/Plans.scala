@@ -325,6 +325,14 @@ object Plans {
           |cheapest curation signal stays free at 100 TB.""".stripMargin,
         SparkEntry.queries("readability")(spark, sf)),
 
+      ("PMI collocations: one corpus shuffle, vocab-sized everything else",
+        """Must hold: the corpus is shuffled ONCE (the (a, b) pair
+          |aggregate); unigram counts derive from that pair table and
+          |BROADCAST back onto it; totals are 1-row broadcasts; top-k
+          |plans as TakeOrderedAndProject — at 100 TB nothing
+          |corpus-sized moves twice.""".stripMargin,
+        SparkEntry.queries("pmi_collocations")(spark, sf)),
+
       ("fuzzy titles: blocked Levenshtein, quadratic term bounded by block",
         """Must hold: the self-join keys on the 6-char prefix block
           |(equi-join — never a cartesian or nested-loop), id1 < id2

@@ -1192,6 +1192,15 @@ object SparkEntry {
           col("n_syllables"), col("flesch_milli"), col("fk_milli"))
         .orderBy(col("doc_id"))),
 
+    // PMI collocations over the REAL corpus text — Church & Hanks
+    // 1990, micro-nat-quantized (the ln argument is one integer
+    // rational evaluated in a pinned order). The oracle reimplements
+    // the whole pipeline independently: zipped-unnest pairs, derived
+    // unigrams, identical rational and floor.
+    "pmi_collocations" -> ((s, dir) =>
+      ops.Collocations.pmiTopK(t(s, dir, "documents"), "text",
+        minCount = 3L, k = 20)),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -2298,6 +2307,34 @@ object SparkEntry {
         |    ELSE (390 * n_words) // n_sentences
         |       + (11800 * n_syllables) // n_words - 15590 END AS fk_milli
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // pmi twin: independent pair/unigram derivation + the identical
+    // pinned rational and floor quantization
+    "pmi_collocations" ->
+      """WITH d AS (
+        |  SELECT list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+        |    t -> lower(t)) AS a
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(a) + 1),
+        |    i -> struct_pack(x := a[i],
+        |      y := CASE WHEN i < len(a) THEN a[i + 1] END))) AS p
+        |  FROM d WHERE len(a) > 0),
+        |pc AS (SELECT p.x AS a, p.y AS b, COUNT(*) AS c
+        |       FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT a, SUM(c) AS ca FROM pc GROUP BY 1),
+        |tot AS (SELECT SUM(c) AS n,
+        |          SUM(CASE WHEN b IS NOT NULL THEN c END) AS bt
+        |        FROM pc)
+        |SELECT pc.a AS w1, pc.b AS w2, CAST(pc.c AS BIGINT) AS n_pair,
+        |  CAST(u1.ca AS BIGINT) AS n_w1, CAST(u2.ca AS BIGINT) AS n_w2,
+        |  CAST(floor(1000000.0 * ln(
+        |    CAST(pc.c * tot.n * tot.n AS DOUBLE) /
+        |    (u1.ca * u2.ca * tot.bt))) AS BIGINT) AS pmi_micro
+        |FROM pc, uni u1, uni u2, tot
+        |WHERE pc.b IS NOT NULL AND pc.c >= 3
+        |  AND u1.a = pc.a AND u2.a = pc.b
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

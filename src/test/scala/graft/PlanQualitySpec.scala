@@ -424,6 +424,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 1)
   }
 
+  test("pmi_collocations: unigrams broadcast; one corpus shuffle; top-k") {
+    val q = SparkEntry.queries("pmi_collocations")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"vocab-sized unigram counts must broadcast onto the bigram " +
+        s"side:\n${planStr.take(2000)}")
+    assert(planStr.contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrderedAndProject, never a global sort")
+    assert(!planStr.contains("CartesianProduct"))
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
