@@ -333,6 +333,13 @@ object Plans {
           |corpus-sized moves twice.""".stripMargin,
         SparkEntry.queries("pmi_collocations")(spark, sf)),
 
+      ("feed items: discovery parse rides the scan, map-only",
+        """Must hold: RSS/Atom item extraction is ONE typed flatMap
+          |over the corpus scan — no shuffle, no UDF; discovered urls
+          |stream straight into the frontier-rule and politeness
+          |stages without re-reading feed payloads.""".stripMargin,
+        SparkEntry.queries("feed_items")(spark, sf)),
+
       ("fuzzy titles: blocked Levenshtein, quadratic term bounded by block",
         """Must hold: the self-join keys on the 6-char prefix block
           |(equi-join — never a cartesian or nested-loop), id1 < id2

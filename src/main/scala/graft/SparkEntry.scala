@@ -1201,6 +1201,41 @@ object SparkEntry {
       ops.Collocations.pmiTopK(t(s, dir, "documents"), "text",
         minCount = 3L, k = 20)),
 
+    // RSS/Atom feed items — three branches: RSS with CDATA titles +
+    // entity-escaped links + a channel-title no-leak trap, Atom with
+    // rel=self decoy links beaten by rel=alternate href, and a
+    // non-feed page (no rows). The oracle states every item row per
+    // branch with no XML parsing.
+    "feed_items" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val h = s"http://s${id % 5}"
+          val xml = (id % 3) match {
+            case 0 => "<?xml version=\"1.0\"?><rss version=\"2.0\">" +
+              s"<channel><title>C</title><link>$h/</link>" +
+              s"<item><title><![CDATA[Post A $id]]></title>" +
+              s"<link>$h/a?x=1&amp;y=$id</link>" +
+              "<pubDate>Mon, 02 Jan 2023 10:00:00 GMT</pubDate></item>" +
+              s"<item><title>Post B</title><link>$h/b</link></item>" +
+              "</channel></rss>"
+            case 1 => "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+              s"""<title>F</title><link href="$h/feed" rel="self"/>""" +
+              s"<entry><title>Entry $id</title>" +
+              s"""<link rel="self" href="$h/e.atom"/>""" +
+              s"""<link rel="alternate" href="$h/e$id"/>""" +
+              "<updated>2024-03-04T05:06:07Z</updated></entry>" +
+              s"""<entry><title>Two</title><link href="$h/two"/>""" +
+              "</entry></feed>"
+            case _ => s"<html><body><p>page $id</p></body></html>"
+          }
+          (id, xml)
+        }
+        .toDF("doc_id", "xml")
+      html.Feeds.itemRows(rows, "doc_id", "xml")
+        .orderBy(col("doc_id"), col("item_idx"))
+    }),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -2335,6 +2370,32 @@ object SparkEntry {
         |WHERE pc.b IS NOT NULL AND pc.c >= 3
         |  AND u1.a = pc.a AND u2.a = pc.b
         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // feed twin: every item row stated per branch — no XML parsing
+    // oracle-side
+    "feed_items" ->
+      """WITH h AS (SELECT doc_id,
+        |    'http://s' || CAST(doc_id % 5 AS VARCHAR) AS b
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, 'rss' AS kind, 0 AS item_idx,
+        |    'Post A ' || doc_id AS title,
+        |    b || '/a?x=1&y=' || doc_id AS link,
+        |    'Mon, 02 Jan 2023 10:00:00 GMT' AS item_date
+        |  FROM h WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'rss', 1, 'Post B', b || '/b', ''
+        |  FROM h WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'atom', 0, 'Entry ' || doc_id,
+        |    b || '/e' || doc_id, '2024-03-04T05:06:07Z'
+        |  FROM h WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 'atom', 1, 'Two', b || '/two', ''
+        |  FROM h WHERE doc_id % 3 = 1)
+        |SELECT doc_id, kind, CAST(item_idx AS BIGINT) AS item_idx,
+        |  title, link, item_date
+        |FROM r ORDER BY doc_id, item_idx""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

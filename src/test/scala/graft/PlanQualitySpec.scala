@@ -435,6 +435,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!planStr.contains("CartesianProduct"))
   }
 
+  test("feed_items: typed flatMap rides the scan, no UDF") {
+    val q = SparkEntry.queries("feed_items")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF"))
+    val exchanges = planStr.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"feed parsing must be map-only (only the orderBy may " +
+        s"exchange):\n${planStr.take(2000)}")
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
