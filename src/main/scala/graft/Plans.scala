@@ -340,6 +340,15 @@ object Plans {
           |stages without re-reading feed payloads.""".stripMargin,
         SparkEntry.queries("feed_items")(spark, sf)),
 
+      ("host outliers: host-partitioned medians, broadcast merge-back",
+        """Must hold: both lower-median windows partition by host (the
+          |fetcher's shard key — partitions are host-bounded, never
+          |corpus-bounded) and the host-cardinality median/MAD tables
+          |BROADCAST back; the roll-up reuses the same host
+          |partitioning, so the corpus shuffles on host once per
+          |median pass and nothing else moves.""".stripMargin,
+        SparkEntry.queries("host_outliers")(spark, sf)),
+
       ("fuzzy titles: blocked Levenshtein, quadratic term bounded by block",
         """Must hold: the self-join keys on the 6-char prefix block
           |(equi-join — never a cartesian or nested-loop), id1 < id2

@@ -1236,6 +1236,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("item_idx"))
     }),
 
+    // per-host robust outliers over REAL text lengths — lower-median
+    // + MAD (never interpolated, all int64), outlier gate
+    // cross-multiplied to integers. Same host synthesis as
+    // domain_blocklist. The oracle reimplements both window medians
+    // and the gate independently.
+    "host_outliers" -> ((s, dir) =>
+      ops.Outliers.hostMadOutliers(
+          t(s, dir, "documents").select(col("doc_id"),
+            concat(lit("www.example"), (col("doc_id") % 7).cast("string"),
+              lit(".com")).as("host"),
+            length(col("text")).cast("long").as("v")),
+          "doc_id", "host", "v")
+        .orderBy(col("host"))),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -2396,6 +2410,37 @@ object SparkEntry {
         |SELECT doc_id, kind, CAST(item_idx AS BIGINT) AS item_idx,
         |  title, link, item_date
         |FROM r ORDER BY doc_id, item_idx""".stripMargin,
+
+    // host-outlier twin: lower medians by row_number rank, identical
+    // integer gate
+    "host_outliers" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+        |    CAST(length(text) AS BIGINT) AS v
+        |  FROM documents),
+        |m1 AS (
+        |  SELECT host, v,
+        |    row_number() OVER (PARTITION BY host ORDER BY v, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY host) AS n
+        |  FROM d),
+        |med AS (SELECT host, v AS med_v FROM m1 WHERE rn = (n + 1) // 2),
+        |a AS (
+        |  SELECT d.doc_id, d.host, abs(d.v - med.med_v) AS av, med.med_v
+        |  FROM d JOIN med USING (host)),
+        |m2 AS (
+        |  SELECT host, av,
+        |    row_number() OVER (PARTITION BY host ORDER BY av, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY host) AS n
+        |  FROM a),
+        |mad AS (SELECT host, av AS mad_v FROM m2 WHERE rn = (n + 1) // 2)
+        |SELECT a.host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MAX(a.med_v) AS BIGINT) AS med_v,
+        |  CAST(MAX(mad.mad_v) AS BIGINT) AS mad_v,
+        |  CAST(SUM(CASE WHEN 10000 * a.av > 44478 * mad.mad_v
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM a JOIN mad USING (host)
+        |GROUP BY 1 ORDER BY a.host""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

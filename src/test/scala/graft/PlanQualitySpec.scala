@@ -446,6 +446,17 @@ class PlanQualitySpec extends AnyFunSuite {
         s"exchange):\n${planStr.take(2000)}")
   }
 
+  test("host_outliers: host-partitioned windows; medians broadcast back") {
+    val q = SparkEntry.queries("host_outliers")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.contains("hashpartitioning(host"),
+      s"both median windows must partition by the host shard key:\n" +
+        planStr.take(2000))
+    assert(planStr.contains("BroadcastHashJoin"),
+      "host-cardinality median/MAD tables must broadcast back")
+    assert(!planStr.contains("CartesianProduct"))
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
