@@ -349,6 +349,43 @@ object Plans {
           |median pass and nothing else moves.""".stripMargin,
         SparkEntry.queries("host_outliers")(spark, sf)),
 
+      ("rendezvous assignment: computed per host, broadcast to the corpus",
+        """Must hold: HRW weights are aggregate() column expressions
+          |(no UDF) evaluated on the DISTINCT host table — domain
+          |cardinality — and the assignment BROADCASTS onto the docs;
+          |the corpus never shuffles to learn its fetcher.""".stripMargin,
+        SparkEntry.queries("rendezvous_assign")(spark, sf)),
+
+      ("link reciprocity: host-cardinality semi-join",
+        """Must hold: reciprocated edges come from ONE left_semi
+          |self-join of the host-cardinality edge table on the
+          |reversed key — no duplicate-row explosion, no cartesian,
+          |nothing corpus-sized; the roll-up shares the src
+          |partitioning.""".stripMargin,
+        SparkEntry.queries("reciprocal_links")(spark, sf)),
+
+      ("SURT keys: codegen projection",
+        """Must hold: the archive-index key is pure column expressions
+          |(split/reverse/array_join/sort_array) — usable inside the
+          |scan projection, no UDF, no typed stage; index building
+          |stays scan-speed at 100 TB.""".stripMargin,
+        SparkEntry.queries("surt_keys")(spark, sf)),
+
+      ("passage chunks: explode(sequence) codegen, no typed stage",
+        """Must hold: chunk windows are explode(sequence) + slice /
+          |array_join column expressions riding the scan — no UDF, no
+          |typed map, no shuffle; chunk rows stream straight into
+          |embedding/packing stages at scan speed.""".stripMargin,
+        SparkEntry.queries("passage_chunks")(spark, sf)),
+
+      ("recrawl schedule: one key shuffle for window and roll-up",
+        """Must hold: the change-detection lag window and the schedule
+          |aggregate share ONE hashpartitioning on the key — the
+          |fetcher's shard key, so the schedule lands co-located with
+          |the fetch queues; all arithmetic is integer epoch math in
+          |codegen.""".stripMargin,
+        SparkEntry.queries("recrawl_schedule")(spark, sf)),
+
       ("fuzzy titles: blocked Levenshtein, quadratic term bounded by block",
         """Must hold: the self-join keys on the 6-char prefix block
           |(equi-join — never a cartesian or nested-loop), id1 < id2

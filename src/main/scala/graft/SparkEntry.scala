@@ -1250,6 +1250,150 @@ object SparkEntry {
           "doc_id", "host", "v")
         .orderBy(col("host"))),
 
+    // rendezvous (HRW) fetcher assignment — 50 hosts sharded onto 8
+    // fetchers by highest-random-weight over the pinned 31-bit
+    // polynomial hash; assignment computed on the DISTINCT host table
+    // and broadcast back to the docs. The oracle recomputes every
+    // (host, worker) weight with the identical list_reduce polynomial
+    // and the same larger-worker tie-break.
+    "rendezvous_assign" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 50).cast("string")).as("host"))
+      val assigned = ops.Rendezvous.assign(
+        docs.select(col("host")).distinct(), "host",
+        (0 until 8).map(i => s"f$i"))
+      docs.join(broadcast(assigned), Seq("host"))
+        .groupBy(col("worker"))
+        .agg(countDistinct(col("host")).as("n_hosts"),
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("doc_checksum"))
+        .orderBy(col("worker"))
+    }),
+
+    // link reciprocity — a 12-host synthetic web where hosts 0-3 form
+    // a link-farm clique (mutual edges) on top of a one-way ring:
+    // clique members read ~1.0 reciprocity, ring-only hosts 0. Edges
+    // derive through hostEdges (explode+distinct, self-loops dropped);
+    // the oracle rebuilds the same edge set and reciprocity
+    // independently.
+    "reciprocal_links" -> ((s, dir) => {
+      val k = (col("doc_id") % 12).cast("long")
+      val ring = (k + 1) % 12
+      val targets = when(k < 4,
+        array_distinct(filter(
+          array(ring, lit(0L), lit(1L), lit(2L), lit(3L)),
+          x => x =!= k)))
+        .otherwise(array(ring))
+      val docs = t(s, dir, "documents").select(
+        concat(lit("h"), k.cast("string")).as("src_host"),
+        transform(targets,
+          x => concat(lit("h"), x.cast("string"))).as("target_hosts"))
+      ops.LinkGraph.reciprocalStats(
+          ops.LinkGraph.hostEdges(docs, "src_host", "target_hosts"))
+        .orderBy(col("host"))
+    }),
+
+    // SURT archive-index keys — six synthesized URL branches walk
+    // every rule: case folding, www strip, default-port strip,
+    // non-default port kept, query sort, fragment drop, bare-host
+    // root path, empty-query ?, percent-encoding left undecoded.
+    // Pure codegen expressions; the oracle states the key per branch.
+    "surt_keys" -> ((s, dir) => {
+      val id = col("doc_id")
+      val d = (id % 4).cast("string")
+      val url = (when(id % 6 === 0, concat(
+          lit("HTTPS://WWW.Example"), d, lit(".COM:443/Path/Page?b=2&a="),
+          id.cast("string"), lit("#frag")))
+        .when(id % 6 === 1, concat(lit("http://sub.blog.example"), d,
+          lit(".org/post/"), id.cast("string")))
+        .when(id % 6 === 2, concat(lit("http://example"), d,
+          lit(".net:8080/?z=1&y=2")))
+        .when(id % 6 === 3, concat(lit("http://www.example"), d,
+          lit(".com/a%2Fb?x=%4A")))
+        .when(id % 6 === 4, concat(lit("https://Example"), d,
+          lit(".com")))
+        .otherwise(concat(lit("http://example"), d, lit(".com/x?"))))
+      t(s, dir, "documents").select(id, url.as("url"))
+        .withColumn("surt", ops.UrlNorm.surtKey(col("url")))
+        .orderBy(id)
+    }),
+
+    // sliding-window passage chunks over the REAL corpus text — size
+    // 64, overlap 16; compact roll-up lands per-doc chunk counts plus
+    // corpus-level token/char checksums so chunk boundaries and
+    // contents are both pinned. The oracle reimplements windows with
+    // list_slice over the same \S+ tokens.
+    "passage_chunks" -> ((s, dir) =>
+      ops.Chunking.slidingChunks(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", size = 64, overlap = 16)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).cast("long").as("token_sum"),
+          max(col("token_offset")).as("last_offset"),
+          sum(length(col("chunk_text"))).cast("long").as("char_sum"))
+        .orderBy(col("doc_id"))),
+
+    // robots Sitemap: lines — global per RFC 9309 (collected inside
+    // and outside UA groups): in-group lines, case-insensitive field,
+    // no-space colon, inline comments, empty values, comment-only
+    // files. The oracle states each (host, idx, url) per branch.
+    "robots_sitemaps" -> ((s, dir) => {
+      import s.implicits._
+      val robots = t(s, dir, "documents")
+        .select((col("doc_id") % 6).cast("long").as("k"))
+        .distinct().as[Long]
+        .map { k =>
+          val txt = k match {
+            case 0 => "User-agent: *\nDisallow: /x/\n" +
+              "Sitemap: http://h0.example/s1.xml\n"
+            case 1 => "Sitemap: http://h1.example/a.xml # discovery\n" +
+              "User-agent: g\nSITEMAP: http://h1.example/b.xml\n"
+            case 2 => "User-agent: *\nAllow: /\n"
+            case 3 => "sitemap:http://h3.example/c.xml\n"
+            case 4 => "Sitemap:   \nSitemap: http://h4.example/d.xml\n"
+            case _ => "# only comments\n"
+          }
+          (s"h$k", txt)
+        }.toDF("host", "robots_txt")
+      ops.Robots.sitemapRows(robots, "host", "robots_txt")
+        .orderBy(col("host"), col("sitemap_idx"))
+    }),
+
+    // adaptive recrawl schedule over the events table — Cho &
+    // Garcia-Molina revisit policy: per user_id (standing in for a
+    // url), a change is an observation whose event_type differs from
+    // the previous one (ts + payload tie-broken total order); the
+    // interval is the integer inter-change estimate clamped to
+    // [1h, 7d]. The oracle reimplements the lag window and the clamp.
+    "recrawl_schedule" -> ((s, dir) =>
+      ops.Recrawl.schedule(
+          t(s, dir, "events").select(col("user_id"), col("ts"),
+            col("event_type")),
+          "user_id", "ts", "event_type")
+        .orderBy(col("user_id"))),
+
+    // document outline — four synthesized heading trees walk the
+    // numbering rules: full hierarchy with deeper-counter reset,
+    // skipped-level zero component, inline markup flattening, empty
+    // heading advancing the outline. The oracle states every row.
+    "doc_outline" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val page = (id % 4) match {
+            case 0 => s"<h1>One $id</h1><h2>A</h2><h3>i</h3><h2>B</h2>" +
+              "<h1>Two</h1><h2>C</h2>"
+            case 1 => "<h2>starts deep</h2><h1>then top</h1>"
+            case 2 => s"<h1>  The <b>Big</b>\n <em>Title $id</em> </h1>"
+            case _ => "<p>no headings</p>"
+          }
+          (id, page)
+        }.toDF("doc_id", "page_html")
+      html.Outline.headingRows(rows, "doc_id", "page_html")
+        .orderBy(col("doc_id"), col("heading_idx"))
+    }),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -2441,6 +2585,185 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM a JOIN mad USING (host)
         |GROUP BY 1 ORDER BY a.host""".stripMargin,
+
+    // rendezvous twin: identical polynomial weights + larger-worker
+    // tie-break via struct max
+    "rendezvous_assign" ->
+      """WITH hosts AS (
+        |  SELECT DISTINCT 'h' || CAST(doc_id % 50 AS VARCHAR) AS host
+        |  FROM documents),
+        |h0 AS (
+        |  SELECT host, w,
+        |    list_reduce(list_transform(
+        |      range(1, length(w || '|' || host) + 1),
+        |      i -> CAST(ord(substr(w || '|' || host, i, 1)) AS BIGINT)),
+        |      (a, b) -> (a * 131 + b) % 2147483647) AS hr
+        |  FROM hosts,
+        |    (SELECT unnest(['f0','f1','f2','f3','f4','f5','f6','f7'])
+        |       AS w)),
+        |hw AS (SELECT host, w, hr * hr % 2147483647 AS h FROM h0),
+        |best AS (
+        |  SELECT host, w AS worker,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY h DESC, w DESC) AS rn
+        |  FROM hw),
+        |d AS (
+        |  SELECT doc_id, 'h' || CAST(doc_id % 50 AS VARCHAR) AS host
+        |  FROM documents)
+        |SELECT b.worker,
+        |  CAST(COUNT(DISTINCT d.host) AS BIGINT) AS n_hosts,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(d.doc_id) AS BIGINT) AS doc_checksum
+        |FROM d JOIN best b ON d.host = b.host AND b.rn = 1
+        |GROUP BY 1 ORDER BY worker""".stripMargin,
+
+    // reciprocity twin: same synthetic edges, independent reverse-join
+    "reciprocal_links" ->
+      """WITH kk AS (SELECT DISTINCT doc_id % 12 AS k FROM documents),
+        |e0 AS (
+        |  SELECT k, unnest(CASE WHEN k < 4 THEN
+        |      list_distinct(list_filter(
+        |        [(k + 1) % 12, 0, 1, 2, 3], x -> x != k))
+        |    ELSE [(k + 1) % 12] END) AS d
+        |  FROM kk),
+        |e AS (
+        |  SELECT DISTINCT 'h' || CAST(k AS VARCHAR) AS src,
+        |    'h' || CAST(d AS VARCHAR) AS dst
+        |  FROM e0 WHERE k != d),
+        |r AS (
+        |  SELECT e1.src, COUNT(*) AS n_recip
+        |  FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+        |  GROUP BY 1)
+        |SELECT e.src AS host, CAST(COUNT(*) AS BIGINT) AS out_deg,
+        |  CAST(COALESCE(MAX(r.n_recip), 0) AS BIGINT) AS n_reciprocal,
+        |  CAST((1000000 * COALESCE(MAX(r.n_recip), 0)) // COUNT(*)
+        |    AS BIGINT) AS reciprocity_micro
+        |FROM e LEFT JOIN r ON e.src = r.src
+        |GROUP BY 1 ORDER BY host""".stripMargin,
+
+    // surt twin: url + key stated per branch — no URL logic
+    // oracle-side
+    "surt_keys" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'HTTPS://WWW.Example' || (doc_id % 4) ||
+        |      '.COM:443/Path/Page?b=2&a=' || doc_id || '#frag'
+        |    WHEN 1 THEN 'http://sub.blog.example' || (doc_id % 4) ||
+        |      '.org/post/' || doc_id
+        |    WHEN 2 THEN 'http://example' || (doc_id % 4) ||
+        |      '.net:8080/?z=1&y=2'
+        |    WHEN 3 THEN 'http://www.example' || (doc_id % 4) ||
+        |      '.com/a%2Fb?x=%4A'
+        |    WHEN 4 THEN 'https://Example' || (doc_id % 4) || '.com'
+        |    ELSE 'http://example' || (doc_id % 4) || '.com/x?'
+        |  END AS url,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'com,example' || (doc_id % 4) ||
+        |      ')/path/page?a=' || doc_id || '&b=2'
+        |    WHEN 1 THEN 'org,example' || (doc_id % 4) ||
+        |      ',blog,sub)/post/' || doc_id
+        |    WHEN 2 THEN 'net,example' || (doc_id % 4) ||
+        |      ':8080)/?y=2&z=1'
+        |    WHEN 3 THEN 'com,example' || (doc_id % 4) || ')/a%2fb?x=%4a'
+        |    WHEN 4 THEN 'com,example' || (doc_id % 4) || ')/'
+        |    ELSE 'com,example' || (doc_id % 4) || ')/x'
+        |  END AS surt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chunk twin: identical windows via list_slice over \S+ tokens
+    "passage_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        |  FROM d WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+        |      ELSE ((n - 64) + 47) // 48 + 1 END)) AS chunk_idx
+        |  FROM n),
+        |r AS (
+        |  SELECT doc_id, chunk_idx, chunk_idx * 48 AS token_offset,
+        |    least(64, n - chunk_idx * 48) AS n_tokens,
+        |    array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+        |      chunk_idx * 48 + 64), ' ') AS chunk_text
+        |  FROM c)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS token_sum,
+        |  CAST(MAX(token_offset) AS BIGINT) AS last_offset,
+        |  CAST(SUM(length(chunk_text)) AS BIGINT) AS char_sum
+        |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // robots-sitemap twin: rows stated per branch
+    "robots_sitemaps" ->
+      """WITH hosts AS (SELECT DISTINCT doc_id % 6 AS k FROM documents),
+        |r AS (
+        |  SELECT 'h0' AS host, 0 AS sitemap_idx,
+        |    'http://h0.example/s1.xml' AS sitemap_url
+        |  FROM hosts WHERE k = 0
+        |  UNION ALL SELECT 'h1', 0, 'http://h1.example/a.xml'
+        |    FROM hosts WHERE k = 1
+        |  UNION ALL SELECT 'h1', 1, 'http://h1.example/b.xml'
+        |    FROM hosts WHERE k = 1
+        |  UNION ALL SELECT 'h3', 0, 'http://h3.example/c.xml'
+        |    FROM hosts WHERE k = 3
+        |  UNION ALL SELECT 'h4', 0, 'http://h4.example/d.xml'
+        |    FROM hosts WHERE k = 4)
+        |SELECT host, CAST(sitemap_idx AS BIGINT) AS sitemap_idx,
+        |  sitemap_url
+        |FROM r ORDER BY host, sitemap_idx""".stripMargin,
+
+    // recrawl twin: identical lag window, integer clamp
+    "recrawl_schedule" ->
+      """WITH o AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_type) AS prev
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, COUNT(*) AS n_obs,
+        |    SUM(CASE WHEN prev IS NOT NULL AND event_type <> prev
+        |      THEN 1 ELSE 0 END) AS n_changes,
+        |    MAX(e) - MIN(e) AS span_sec, MAX(e) AS last_e
+        |  FROM o GROUP BY 1)
+        |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+        |  CAST(n_changes AS BIGINT) AS n_changes,
+        |  CAST(span_sec AS BIGINT) AS span_sec,
+        |  CAST(least(greatest(span_sec // greatest(1, n_changes),
+        |    3600), 604800) AS BIGINT) AS interval_sec,
+        |  CAST(last_e + least(greatest(
+        |    span_sec // greatest(1, n_changes), 3600), 604800)
+        |    AS BIGINT) AS next_fetch_epoch
+        |FROM a ORDER BY user_id""".stripMargin,
+
+    // outline twin: every heading row stated per branch
+    "doc_outline" ->
+      """WITH r AS (
+        |  SELECT doc_id, 0 AS heading_idx, 1 AS level, '1' AS section,
+        |    'One ' || doc_id AS heading_text
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id, 1, 2, '1.1', 'A'
+        |    FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id, 2, 3, '1.1.1', 'i'
+        |    FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id, 3, 2, '1.2', 'B'
+        |    FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id, 4, 1, '2', 'Two'
+        |    FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id, 5, 2, '2.1', 'C'
+        |    FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id, 0, 2, '0.1', 'starts deep'
+        |    FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL SELECT doc_id, 1, 1, '1', 'then top'
+        |    FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL SELECT doc_id, 0, 1, '1',
+        |    'The Big Title ' || doc_id
+        |    FROM documents WHERE doc_id % 4 = 2)
+        |SELECT doc_id, CAST(heading_idx AS BIGINT) AS heading_idx,
+        |  CAST(level AS BIGINT) AS level, section, heading_text
+        |FROM r ORDER BY doc_id, heading_idx""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

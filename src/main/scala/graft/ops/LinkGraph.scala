@@ -80,4 +80,30 @@ object LinkGraph {
     }
     ranks
   }
+
+  /** Per-host link reciprocity — the classic link-farm fingerprint
+    * (spam rings interlink MUTUALLY; organic linking is largely
+    * one-way, cf. the TrustRank line of work, Gyöngyi et al. 2004):
+    * for each host, how many of its out-edges are reciprocated by a
+    * reverse edge.
+    *
+    * Returns (host, out_deg, n_reciprocal, reciprocity_micro) with
+    * reciprocity_micro = (10⁶ · n_reciprocal) div out_deg — integer-
+    * exact. One self-equi-join of the host-cardinality edge table on
+    * the reversed key (left_semi — reciprocated edges only, never a
+    * row explosion), plus the out-degree aggregate; nothing
+    * corpus-sized moves. */
+  def reciprocalStats(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.select(col("src"), col("dst"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = edges.join(rev, Seq("src", "dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("n_recip"))
+    edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .join(recip, Seq("src"), "left")
+      .withColumn("n_reciprocal", coalesce(col("n_recip"), lit(0L)))
+      .select(col("src").as("host"), col("out_deg"),
+        col("n_reciprocal"),
+        expr("(1000000 * n_reciprocal) div out_deg")
+          .as("reciprocity_micro"))
+  }
 }

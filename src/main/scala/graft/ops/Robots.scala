@@ -166,4 +166,42 @@ object Robots {
       }
       .toDF("host", "path", "allowed")
   }
+
+  /** `Sitemap:` URLs from a robots.txt, in file order. Per RFC 9309
+    * §2.3 sitemap lines are GLOBAL — independent of any user-agent
+    * group, so they're collected from the whole file regardless of
+    * position; the field name is case-insensitive, values keep their
+    * case (URLs), inline `#` comments are stripped, duplicates kept
+    * (file order is the discovery order). */
+  def sitemapUrls(robotsTxt: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    for (raw <- Option(robotsTxt).getOrElse("").linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+        line.substring(0, colon).trim
+          .equalsIgnoreCase("sitemap")) {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.result()
+  }
+
+  /** One row per sitemap line: (hostCol, sitemap_idx, sitemap_url) —
+    * one typed flatMap over the domain-cardinality robots table. */
+  def sitemapRows(robots: DataFrame, hostCol: String,
+                  robotsTextCol: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string"),
+        col(robotsTextCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        sitemapUrls(txt).zipWithIndex.map { case (u, i) =>
+          (host, i.toLong, u)
+        }
+      }
+      .toDF(hostCol, "sitemap_idx", "sitemap_url")
+  }
 }

@@ -55,4 +55,44 @@ object UrlNorm {
     concat(scheme, lit("://"), hostNoPort, path,
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
   }
+
+  /** SURT key (Sort-friendly URI Reordering Transform — the CDX /
+    * OpenWayback archive-index key, format public): reversed host
+    * labels comma-joined, `www.` and default ports stripped,
+    * non-default port kept after the host, `)` separator, lowercased
+    * path (`/` when empty), sorted lowercased query. URLs of one site
+    * section become one contiguous sorted range — range scans and
+    * prefix pruning replace per-url lookups in an archive index.
+    *
+    * `HTTPS://WWW.Ex.COM:443/P?b=2&a=1#f` → `com,ex)/p?a=1&b=2`.
+    * Pinned simplifications: no percent-decoding, no path-dot
+    * normalization (identity-preserving transforms only, matching
+    * `canonicalizeUrl`'s philosophy). Pure column expressions —
+    * codegen, usable in the scan projection. */
+  def surtKey(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val preQ = substring_index(noFrag, "?", 1)
+    val query = when(noFrag.contains("?"),
+      substring_index(noFrag, "?", -1)).otherwise(lit(""))
+    val scheme = lower(substring_index(preQ, "://", 1))
+    val rest = substring_index(preQ, "://", -1) // host[:port]/path...
+    val hostPort = lower(substring_index(rest, "/", 1))
+    val path = rest.substr(length(hostPort) + 1, length(rest))
+    val noDefPort =
+      when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+        .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+        .otherwise(hostPort)
+    val host = substring_index(noDefPort, ":", 1)
+    val port = when(noDefPort.contains(":"),
+      concat(lit(":"), substring_index(noDefPort, ":", -1)))
+      .otherwise(lit(""))
+    val revHost = array_join(
+      reverse(split(regexp_replace(host, "^www\\.", ""), "\\.")), ",")
+    val pathNorm = when(length(path) === 0, lit("/"))
+      .otherwise(lower(path))
+    val sortedQ = when(query === "", lit("")).otherwise(
+      concat(lit("?"),
+        array_join(sort_array(split(lower(query), "&")), "&")))
+    concat(revHost, port, lit(")"), pathNorm, sortedQ)
+  }
 }

@@ -457,6 +457,65 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!planStr.contains("CartesianProduct"))
   }
 
+  test("rendezvous_assign: host-table assignment broadcasts; no UDF") {
+    val q = SparkEntry.queries("rendezvous_assign")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"the domain-cardinality assignment must broadcast onto the " +
+        s"corpus:\n${planStr.take(2000)}")
+    assert(!planStr.contains("ScalaUDF"),
+      "HRW weights must be aggregate() column expressions, not a UDF")
+  }
+
+  test("reciprocal_links: host-cardinality semi-join, never a row blowup") {
+    val q = SparkEntry.queries("reciprocal_links")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.contains("LeftSemi"),
+      s"reciprocated edges must come from a left_semi join (no " +
+        s"duplicate-row explosion):\n${planStr.take(2000)}")
+    assert(!planStr.contains("CartesianProduct"))
+  }
+
+  test("surt_keys: pure codegen expressions, no UDF, no typed map") {
+    val q = SparkEntry.queries("surt_keys")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF") &&
+      !planStr.contains("SerializeFromObject"),
+      s"SURT keys must be column expressions usable in a scan " +
+        s"projection:\n${planStr.take(2000)}")
+  }
+
+  test("passage_chunks: codegen explode path, no UDF, no typed map") {
+    val q = SparkEntry.queries("passage_chunks")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF") &&
+      !planStr.contains("SerializeFromObject"),
+      s"chunking must be explode(sequence) + slice column " +
+        s"expressions:\n${planStr.take(2000)}")
+    assert(planStr.contains("Generate"),
+      "chunks must come from a Generate (explode), one scan")
+  }
+
+  test("recrawl_schedule: one key shuffle shared by window and roll-up") {
+    val q = SparkEntry.queries("recrawl_schedule")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.contains("hashpartitioning(user_id"),
+      s"the lag window must partition by the schedule key:\n" +
+        planStr.take(2000))
+    assert(!planStr.contains("ScalaUDF"))
+  }
+
+  test("doc_outline: typed flatMap rides the scan, no UDF") {
+    val q = SparkEntry.queries("doc_outline")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF"))
+    val exchanges = planStr.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1)
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
