@@ -85,6 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineEntry)
     ext.injectFunction(NfcNormalize.entry)
     ext.injectFunction(BottomK.entry)
+    ext.injectFunction(LevenshteinBounded.entry)
   }
 }
 
@@ -99,7 +100,7 @@ object GraftExtensions {
   /** Imperative registration on an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     for ((id, info, builder) <- Seq(cosineEntry, NfcNormalize.entry,
-        BottomK.entry))
+        BottomK.entry, LevenshteinBounded.entry))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 

@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   * halves the pairs, and the distance filter runs on block-local
   * candidates only — block sizes bound the quadratic term.
   *
-  * Everything is built-in codegen expressions (`levenshtein` is native
-  * in both Spark and the DuckDB oracle — identical classic
-  * edit-distance semantics, verified byte-exact).
+  * The distance is the repo's native BANDED Levenshtein
+  * (`graft.functions.LevenshteinBounded`, Ukkonen O(L·k) band instead
+  * of the built-in's full O(L²) matrix) — on block-local candidate
+  * pairs at radius 2 that's ~L/2 less DP work per pair, and the
+  * length-difference pre-check inside the expression rejects most
+  * pairs without touching the DP. Semantics are identical to the
+  * classic distance whenever it is ≤ maxDist (verified byte-exact
+  * against DuckDB's `levenshtein` by the oracle).
   */
 object FuzzyTitle {
 
@@ -27,6 +32,7 @@ object FuzzyTitle {
     * prefix blocks. */
   def nearDupPairs(df: DataFrame, idCol: String, titleCol: String,
                    maxDist: Int, prefixLen: Int = 6): DataFrame = {
+    graft.functions.GraftExtensions.register(df.sparkSession)
     val base = df.select(col(idCol).cast("long").as("_id"),
         col(titleCol).cast("string").as("_title"))
       .withColumn("_block", lower(substring(col("_title"), 1, prefixLen)))
@@ -36,8 +42,9 @@ object FuzzyTitle {
       col("_title").as("t2"))
     left.join(right, Seq("_block"))
       .where(col("id1") < col("id2"))
-      .withColumn("dist", levenshtein(col("t1"), col("t2")))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist", call_function("graft_levenshtein_bounded",
+        col("t1"), col("t2"), lit(maxDist)))
+      .where(col("dist") >= 0)
       .select(col("id1"), col("id2"), col("dist"))
   }
 }

@@ -376,8 +376,9 @@ class PlanQualitySpec extends AnyFunSuite {
         !planStr.contains("BroadcastNestedLoopJoin"),
       s"pairs must form only inside prefix blocks (equi-join):\n${planStr.take(2000)}")
     assert(!planStr.contains("ScalaUDF"))
-    assert(planStr.contains("levenshtein"),
-      "distance must be the native codegen levenshtein expression")
+    assert(planStr.contains("graft_levenshtein_bounded"),
+      "distance must be the native BANDED levenshtein expression " +
+        "(O(L*k) Ukkonen band, not the built-in full matrix)")
   }
 
   test("pub_dates: map-only typed path, one scan, no UDF") {
