@@ -1394,6 +1394,71 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("heading_idx"))
     }),
 
+    // crawl-trap detection — six path/query branches hit each rule
+    // plus the ok case; the oracle REIMPLEMENTS every rule in DuckDB
+    // (nested list lambdas + RE2) rather than stating answers.
+    "crawl_traps" -> ((s, dir) => {
+      val id = col("doc_id")
+      val path = when(id % 6 === 0, lit("/a/b/a/c/a"))
+        .when(id % 6 === 1, lit("/1/2/3/4/5/6/7/8/9/10/11/12/13"))
+        .when(id % 6 === 2, lit("/p"))
+        .when(id % 6 === 3, lit("/p"))
+        .when(id % 6 === 4, lit("/archive/1901/01/"))
+        .otherwise(lit("/a/b/c"))
+      val query = when(id % 6 === 0, lit("x=1"))
+        .when(id % 6 === 2,
+          lit("a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9"))
+        .when(id % 6 === 3,
+          lit("sid=0123456789abcdef0123456789abcdef&x=2"))
+        .when(id % 6 === 5, concat(lit("x=1&y="), id.cast("string")))
+        .otherwise(lit(""))
+      ops.TrapDetect.withTrapReason(
+          t(s, dir, "documents").select(id, path.as("path"),
+            query.as("query")),
+          "path", "query")
+        .select(col("doc_id"), col("path"), col("query"),
+          col("trap_reason"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // eTLD+1 registrable domains — suffix-list branches; the oracle
+    // reimplements the label logic with string_split.
+    "registrable_domains" -> ((s, dir) => {
+      val id = col("doc_id")
+      val d = (id % 3).cast("string")
+      val host = when(id % 6 === 0, concat(lit("a.example"), d,
+          lit(".co.uk")))
+        .when(id % 6 === 1, lit("www.example.com"))
+        .when(id % 6 === 2, lit("x.y.z.example.com.au"))
+        .when(id % 6 === 3, lit("localhost"))
+        .when(id % 6 === 4, lit("example.org"))
+        .otherwise(concat(lit("deep.sub.example"), d, lit(".net")))
+      t(s, dir, "documents").select(id, host.as("host"))
+        .withColumn("registrable",
+          ops.Etld.registrableDomain(col("host")))
+        .orderBy(id)
+    }),
+
+    // canonical dedup text key — case/punct/whitespace/Unicode-
+    // composition traps (branch 1 precomposed vs branch 2 DECOMPOSED
+    // must yield the same key shape); md5 digest both engines. The
+    // oracle reruns the identical pipeline with nfc_normalize.
+    "canon_text_key" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = when(id % 4 === 0,
+          concat(lit("The  QUICK,,, brown--fox! "), id.cast("string")))
+        .when(id % 4 === 1,
+          concat(lit("Café CRÈME "), id.cast("string")))
+        .when(id % 4 === 2,
+          concat(lit("Café CRÈME "), id.cast("string")))
+        .otherwise(concat(lit("  spaces\tand\nnewlines  "),
+          id.cast("string")))
+      ops.CanonKey.withCanonKey(
+          t(s, dir, "documents").select(id, text.as("text")), "text")
+        .select(col("doc_id"), col("canon_key"), col("canon_digest"))
+        .orderBy(id)
+    }),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -2764,6 +2829,91 @@ object SparkEntry {
         |SELECT doc_id, CAST(heading_idx AS BIGINT) AS heading_idx,
         |  CAST(level AS BIGINT) AS level, section, heading_text
         |FROM r ORDER BY doc_id, heading_idx""".stripMargin,
+
+    // trap twin: every rule reimplemented (nested list lambdas + RE2)
+    "crawl_traps" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN '/a/b/a/c/a'
+        |      WHEN 1 THEN '/1/2/3/4/5/6/7/8/9/10/11/12/13'
+        |      WHEN 2 THEN '/p' WHEN 3 THEN '/p'
+        |      WHEN 4 THEN '/archive/1901/01/'
+        |      ELSE '/a/b/c' END AS path,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 'x=1'
+        |      WHEN 2 THEN 'a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9'
+        |      WHEN 3 THEN 'sid=0123456789abcdef0123456789abcdef&x=2'
+        |      WHEN 5 THEN 'x=1&y=' || doc_id
+        |      ELSE '' END AS query
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, path, query,
+        |    list_filter(string_split(path, '/'), x -> x != '') AS segs,
+        |    list_filter(string_split(query, '&'), x -> x != '')
+        |      AS params,
+        |    regexp_extract(path, '/((?:19|20)[0-9]{2})(?:/|$)', 1) AS y
+        |  FROM f)
+        |SELECT doc_id, path, query,
+        |  CASE
+        |    WHEN len(list_filter(list_distinct(segs),
+        |      d -> len(list_filter(segs, x -> x = d)) >= 3)) > 0
+        |      THEN 'repeat_segment'
+        |    WHEN len(segs) > 12 THEN 'depth'
+        |    WHEN len(params) > 8 THEN 'query_blowup'
+        |    WHEN len(list_filter(params,
+        |      p -> regexp_matches(p, '=[0-9a-f]{32}'))) > 0
+        |      THEN 'session_id'
+        |    WHEN y != '' AND (CAST(y AS INT) < 1995
+        |      OR CAST(y AS INT) > 2030) THEN 'calendar'
+        |    ELSE 'ok' END AS trap_reason
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // etld twin: label logic reimplemented with string_split
+    "registrable_domains" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 'a.example' || (doc_id % 3) || '.co.uk'
+        |      WHEN 1 THEN 'www.example.com'
+        |      WHEN 2 THEN 'x.y.z.example.com.au'
+        |      WHEN 3 THEN 'localhost'
+        |      WHEN 4 THEN 'example.org'
+        |      ELSE 'deep.sub.example' || (doc_id % 3) || '.net'
+        |    END AS host
+        |  FROM documents),
+        |g AS (SELECT doc_id, host, string_split(host, '.') AS l,
+        |        len(string_split(host, '.')) AS n
+        |      FROM f)
+        |SELECT doc_id, host,
+        |  CASE WHEN n <= 1 THEN host
+        |    WHEN n = 2 THEN l[n - 1] || '.' || l[n]
+        |    WHEN (l[n - 1] || '.' || l[n]) IN ('co.uk', 'org.uk',
+        |      'ac.uk', 'gov.uk', 'com.au', 'net.au', 'co.jp', 'ne.jp',
+        |      'com.br', 'co.in', 'co.nz', 'com.cn')
+        |      THEN l[n - 2] || '.' || l[n - 1] || '.' || l[n]
+        |    ELSE l[n - 1] || '.' || l[n] END AS registrable
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // canon-key twin: identical pipeline with DuckDB nfc_normalize;
+    // branch 2 rebuilds the DECOMPOSED form via chr(769)
+    "canon_text_key" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'The  QUICK,,, brown--fox! ' || doc_id
+        |      WHEN 1 THEN 'Café CRÈME ' || doc_id
+        |      WHEN 2 THEN 'Cafe' || chr(769) || ' CRÈME ' || doc_id
+        |      ELSE '  spaces' || chr(9) || 'and' || chr(10) ||
+        |        'newlines  ' || doc_id END AS text
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(nfc_normalize(lower(text)),
+        |      '[^\p{L}\p{N}]+', ' ', 'g')) AS canon_key
+        |  FROM f)
+        |SELECT doc_id, canon_key, md5(canon_key) AS canon_digest
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

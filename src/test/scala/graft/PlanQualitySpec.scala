@@ -517,6 +517,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 1)
   }
 
+  test("crawl_traps / registrable_domains / canon_text_key: pure codegen") {
+    for (name <- Seq("crawl_traps", "registrable_domains",
+        "canon_text_key")) {
+      val q = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      assert(scans(q).length == 1, s"$name must read one scan")
+      val planStr = finalPlans(q).head.toString
+      assert(!planStr.contains("ScalaUDF") &&
+        !planStr.contains("SerializeFromObject"),
+        s"$name must be column expressions riding the scan:\n" +
+          planStr.take(1500))
+    }
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
