@@ -378,6 +378,14 @@ object Plans {
           |embedding/packing stages at scan speed.""".stripMargin,
         SparkEntry.queries("passage_chunks")(spark, sf)),
 
+      ("redirect chains: log-depth pointer doubling",
+        """Must hold: every doubling round is ONE equi-join of the
+          |redirect-cardinality pointer table with itself (never a
+          |cartesian) — 2^r-hop chains resolve in r joins where the
+          |naive walk needs one join per hop; cycles exit as
+          |unresolved rather than looping.""".stripMargin,
+        SparkEntry.queries("redirect_chains")(spark, sf)),
+
       ("recrawl schedule: one key shuffle for window and roll-up",
         """Must hold: the change-detection lag window and the schedule
           |aggregate share ONE hashpartitioning on the key — the

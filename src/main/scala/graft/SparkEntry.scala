@@ -1459,6 +1459,51 @@ object SparkEntry {
         .orderBy(id)
     }),
 
+    // redirect-chain resolution by pointer doubling — a 4-hop chain,
+    // a 3-cycle, a self-loop, and no-edge hosts; the oracle resolves
+    // the same edges with a hop-capped recursive CTE and the same
+    // terminal rule (unresolved -> NULLs).
+    "redirect_chains" -> ((s, dir) => {
+      val k = col("k")
+      val kdf = t(s, dir, "documents")
+        .select((col("doc_id") % 12).as("k")).distinct()
+      val src = when(k <= 3, concat(lit("r"), k.cast("string")))
+        .when(k.between(5, 7), concat(lit("c"), (k - 5).cast("string")))
+        .when(k === 8, lit("s0"))
+      val dst = when(k < 3, concat(lit("r"), (k + 1).cast("string")))
+        .when(k === 3, lit("end.example"))
+        .when(k.between(5, 7),
+          concat(lit("c"), ((k - 4) % 3).cast("string")))
+        .when(k === 8, lit("s0"))
+      ops.Redirects.resolve(
+          kdf.select(src.as("src"), dst.as("dst"))
+            .where(col("src").isNotNull))
+        .orderBy(col("src"))
+    }),
+
+    // meta-refresh soft redirects — plain, quoted+case, delay-only,
+    // invalid-delay (no row), and absent branches; oracle states the
+    // surviving rows.
+    "meta_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val page = (id % 5) match {
+            case 0 => "<meta http-equiv=\"refresh\" " +
+              s"""content="0;url=http://h/next$id">"""
+            case 1 => "<meta HTTP-EQUIV=\"Refresh\" " +
+              s"""content="5; URL='http://h/q?a=$id'">"""
+            case 2 => """<meta http-equiv="refresh" content="30">"""
+            case 3 => "<meta http-equiv=\"refresh\" " +
+              """content="abc;url=http://h/x">"""
+            case _ => "<p>no refresh</p>"
+          }
+          (id, page)
+        }.toDF("doc_id", "page_html")
+      html.Meta.refreshRows(rows, "doc_id", "page_html")
+        .orderBy(col("doc_id"))
+    }),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -2914,6 +2959,49 @@ object SparkEntry {
         |  FROM f)
         |SELECT doc_id, canon_key, md5(canon_key) AS canon_digest
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // redirect twin: hop-capped recursive CTE + the same terminal rule
+    "redirect_chains" ->
+      """WITH RECURSIVE kk AS (
+        |  SELECT DISTINCT doc_id % 12 AS k FROM documents),
+        |e AS (
+        |  SELECT 'r' || k AS src,
+        |    CASE WHEN k < 3 THEN 'r' || (k + 1)
+        |      ELSE 'end.example' END AS dst
+        |  FROM kk WHERE k <= 3
+        |  UNION ALL
+        |  SELECT 'c' || (k - 5), 'c' || ((k - 4) % 3)
+        |  FROM kk WHERE k BETWEEN 5 AND 7
+        |  UNION ALL SELECT 's0', 's0' FROM kk WHERE k = 8),
+        |walk AS (
+        |  SELECT src, dst, 1 AS hops FROM e
+        |  UNION ALL
+        |  SELECT w.src, e.dst, w.hops + 1
+        |  FROM walk w JOIN e ON w.dst = e.src WHERE w.hops < 64),
+        |term AS (
+        |  SELECT w.src, w.dst, w.hops FROM walk w
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.dst))
+        |SELECT s.src, term.dst AS final_dst,
+        |  CAST(term.hops AS BIGINT) AS hops,
+        |  term.src IS NOT NULL AS resolved
+        |FROM (SELECT DISTINCT src FROM e) s
+        |LEFT JOIN term ON s.src = term.src
+        |ORDER BY s.src""".stripMargin,
+
+    // refresh twin: surviving rows stated per branch
+    "meta_refresh" ->
+      """WITH r AS (
+        |  SELECT doc_id, 0 AS delay_sec,
+        |    'http://h/next' || doc_id AS target_url
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 5, 'http://h/q?a=' || doc_id
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 30, '' FROM documents WHERE doc_id % 5 = 2)
+        |SELECT doc_id, CAST(delay_sec AS BIGINT) AS delay_sec,
+        |  target_url
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

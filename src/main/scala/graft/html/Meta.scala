@@ -110,6 +110,56 @@ object Meta {
       nz(ogTitle), noindex, nofollow, nAlt)
   }
 
+  /** Meta-refresh redirect (`<meta http-equiv="refresh"
+    * content="delay[;url=target]">`) — the soft-redirect mechanism a
+    * crawler must follow (or trap-guard) next to HTTP 3xx. Pinned
+    * parse: FIRST refresh meta wins; delay is the leading digit run
+    * of the content's first `;`-part (no digits → the refresh is
+    * invalid and ignored — strict, documented); the target is the
+    * part after a case-insensitive `url=`, with one layer of
+    * matching quotes stripped; a delay-only refresh (self-reload)
+    * yields an empty target. */
+  def metaRefresh(html: String): Option[(Long, String)] = {
+    var found: Option[(Long, String)] = None
+    HtmlTokenizer.tokenize(Option(html).getOrElse("")).foreach {
+      case HtmlTokenizer.StartTag("meta", attrs, _) if found.isEmpty &&
+        attr(attrs, "http-equiv").equalsIgnoreCase("refresh") =>
+        val content = attr(attrs, "content")
+        val parts = content.split(";", 2)
+        val digits = parts(0).trim.takeWhile(_.isDigit)
+        if (digits.nonEmpty) {
+          val url = if (parts.length < 2) "" else {
+            val p = parts(1).trim
+            if (p.toLowerCase(java.util.Locale.ROOT).startsWith("url=")) {
+              var v = p.substring(4).trim
+              if (v.length >= 2 &&
+                ((v.head == '"' && v.last == '"') ||
+                  (v.head == '\'' && v.last == '\'')))
+                v = v.substring(1, v.length - 1).trim
+              v
+            } else ""
+          }
+          found = Some((digits.toLong, url))
+        }
+      case _ => ()
+    }
+    found
+  }
+
+  /** One row per document WITH a valid refresh: (idCol, delay_sec,
+    * target_url) — one typed flatMap, map-only. */
+  def refreshRows(df: DataFrame, idCol: String,
+                  htmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(htmlCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, h) =>
+        metaRefresh(h).map { case (d, u) => (id, d, u) }
+      }
+      .toDF(idCol, "delay_sec", "target_url")
+  }
+
   /** One row per document: the PageMeta fields as columns — one typed
     * map, map-only. */
   def metaRows(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {

@@ -530,6 +530,15 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("redirect_chains: log-depth doubling joins, no cartesian") {
+    val q = SparkEntry.queries("redirect_chains")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"),
+      s"every doubling round must be an equi-join:\n${planStr.take(2000)}")
+    assert(!planStr.contains("ScalaUDF"))
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
