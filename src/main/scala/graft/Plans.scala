@@ -378,6 +378,15 @@ object Plans {
           |embedding/packing stages at scan speed.""".stripMargin,
         SparkEntry.queries("passage_chunks")(spark, sf)),
 
+      ("length quantiles: histogram-first exact quantiles",
+        """Must hold: the corpus shuffles ONCE into a (value, count)
+          |histogram with map-side partial_count; the cumulative
+          |window runs over the histogram (value-cardinality-bounded,
+          |never the corpus) and each quantile reads off the
+          |cumulative counts — exact, no interpolation, no corpus
+          |sort, no percentile_approx error.""".stripMargin,
+        SparkEntry.queries("length_quantiles")(spark, sf)),
+
       ("redirect chains: log-depth pointer doubling",
         """Must hold: every doubling round is ONE equi-join of the
           |redirect-cardinality pointer table with itself (never a

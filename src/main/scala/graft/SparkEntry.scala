@@ -1504,6 +1504,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // exact length quantiles over the REAL corpus — histogram-first,
+    // type-1 (lower, never interpolated); the oracle reimplements the
+    // identical cumulative-rank rule.
+    "length_quantiles" -> ((s, dir) =>
+      ops.Quantiles.exactQuantiles(
+        t(s, dir, "documents")
+          .select(length(col("text")).cast("long").as("v")), "v")),
+
+    // hreflang alternates — ordered pairs with rel-token/case traps,
+    // canonical decoys, and missing-attr skips; oracle states rows.
+    "hreflang_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val h = s"http://s${id % 5}"
+          val page = (id % 3) match {
+            case 0 =>
+              s"""<link rel="alternate" hreflang="en" href="$h/en/$id">""" +
+                s"""<link rel="Alternate" hreflang="de" href="$h/de/$id">""" +
+                s"""<link rel="alternate" hreflang="x-default" href="$h/">"""
+            case 1 =>
+              s"""<link rel="canonical" hreflang="es" href="$h/es">""" +
+                s"""<link rel="alternate" href="$h/feed.xml">""" +
+                s"""<link rel="alternate stylesheet" hreflang="fr" href="$h/fr/$id">"""
+            case _ => "<p>no alternates</p>"
+          }
+          (id, page)
+        }.toDF("doc_id", "page_html")
+      html.Meta.alternateRows(rows, "doc_id", "page_html")
+        .orderBy(col("doc_id"), col("alt_idx"))
+    }),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -3002,6 +3034,41 @@ object SparkEntry {
         |SELECT doc_id, CAST(delay_sec AS BIGINT) AS delay_sec,
         |  target_url
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // quantile twin: identical histogram + cumulative-rank rule
+    "length_quantiles" ->
+      """WITH d AS (
+        |  SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
+        |h AS (SELECT v, COUNT(*) AS c FROM d GROUP BY 1),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+        |SELECT n,
+        |  (SELECT MIN(v) FROM cum, tot
+        |     WHERE cum >= (50 * n + 99) // 100) AS p50,
+        |  (SELECT MIN(v) FROM cum, tot
+        |     WHERE cum >= (90 * n + 99) // 100) AS p90,
+        |  (SELECT MIN(v) FROM cum, tot
+        |     WHERE cum >= (99 * n + 99) // 100) AS p99
+        |FROM tot""".stripMargin,
+
+    // hreflang twin: rows stated per branch
+    "hreflang_pairs" ->
+      """WITH h AS (SELECT doc_id,
+        |    'http://s' || CAST(doc_id % 5 AS VARCHAR) AS b
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, 0 AS alt_idx, 'en' AS hreflang,
+        |    b || '/en/' || doc_id AS href
+        |  FROM h WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 1, 'de', b || '/de/' || doc_id
+        |    FROM h WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 2, 'x-default', b || '/'
+        |    FROM h WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 0, 'fr', b || '/fr/' || doc_id
+        |    FROM h WHERE doc_id % 3 = 1)
+        |SELECT doc_id, CAST(alt_idx AS BIGINT) AS alt_idx, hreflang,
+        |  href
+        |FROM r ORDER BY doc_id, alt_idx""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

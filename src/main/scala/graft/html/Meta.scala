@@ -160,6 +160,43 @@ object Meta {
       .toDF(idCol, "delay_sec", "target_url")
   }
 
+  /** `<link rel="alternate" hreflang=… href=…>` pairs in document
+    * order — the multilingual cluster map (one page's translations),
+    * the signal per-language curation joins against so language
+    * variants of one page share fate. rel matching is token- and
+    * case-insensitive (`"Alternate stylesheet"` contains the token);
+    * entries missing href OR hreflang are skipped; `x-default` is a
+    * legitimate hreflang value and passes through. */
+  def alternates(html: String): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    HtmlTokenizer.tokenize(Option(html).getOrElse("")).foreach {
+      case HtmlTokenizer.StartTag("link", attrs, _) =>
+        val rel = relTokens(attr(attrs, "rel"))
+        val lang = attr(attrs, "hreflang")
+        val href = attr(attrs, "href")
+        if (rel.contains("alternate") && lang.nonEmpty && href.nonEmpty)
+          out += ((lang, href))
+      case _ => ()
+    }
+    out.result()
+  }
+
+  /** One row per alternate: (idCol, alt_idx, hreflang, href) — one
+    * typed flatMap, map-only. */
+  def alternateRows(df: DataFrame, idCol: String,
+                    htmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(htmlCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, h) =>
+        alternates(h).zipWithIndex.map { case ((l, u), i) =>
+          (id, i.toLong, l, u)
+        }
+      }
+      .toDF(idCol, "alt_idx", "hreflang", "href")
+  }
+
   /** One row per document: the PageMeta fields as columns — one typed
     * map, map-only. */
   def metaRows(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {

@@ -539,6 +539,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!planStr.contains("ScalaUDF"))
   }
 
+  test("length_quantiles: histogram-first — corpus shuffles once, " +
+    "window runs on the histogram") {
+    val q = SparkEntry.queries("length_quantiles")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.contains("partial_count"),
+      s"the histogram aggregate must combine map-side:\n" +
+        planStr.take(2000))
+    assert(!planStr.contains("ScalaUDF"))
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
