@@ -378,6 +378,14 @@ object Plans {
           |embedding/packing stages at scan speed.""".stripMargin,
         SparkEntry.queries("passage_chunks")(spark, sf)),
 
+      ("BPE candidates: corpus once, pairs on the vocab",
+        """Must hold: the corpus is touched once (map-side-combined
+          |word counts); the symbol-pair explosion runs on the VOCAB
+          |table — vocabulary cardinality, not corpus cardinality —
+          |and top-k plans as TakeOrderedAndProject; no UDF, no typed
+          |map anywhere.""".stripMargin,
+        SparkEntry.queries("bpe_candidates")(spark, sf)),
+
       ("length quantiles: histogram-first exact quantiles",
         """Must hold: the corpus shuffles ONCE into a (value, count)
           |histogram with map-side partial_count; the cumulative

@@ -1536,6 +1536,43 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("alt_idx"))
     }),
 
+    // BPE merge candidates over the REAL corpus text — Sennrich 2016
+    // first-round pair counts, word-frequency weighted, </w> marker;
+    // the oracle rebuilds vocab + pairs independently with zipped
+    // struct unnests.
+    "bpe_candidates" -> ((s, dir) =>
+      ops.Bpe.mergeCandidates(
+        t(s, dir, "documents").select(col("text")), "text", k = 25)),
+
+    // pagination-chain assembly — rel=next extraction COMPOSED with
+    // pointer-doubling resolution: 4-page article groups chain
+    // p0->p1->p2->p3 (terminal), group 0's last page links back to
+    // its first (gallery-trap cycle -> unresolved). The oracle
+    // derives the same edges and resolves them with the hop-capped
+    // recursive CTE.
+    "pagination_chains" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id / 4
+          val p = id % 4
+          val url = s"http://s/a$g/p$p"
+          val page =
+            if (p < 3)
+              s"""<link rel="next" href="http://s/a$g/p${p + 1}">"""
+            else if (g == 0)
+              s"""<link rel="NEXT" href="http://s/a$g/p0">"""
+            else "<p>last part</p>"
+          (url, page)
+        }.toDF("url", "page_html")
+      val edges = pages.as[(String, String)]
+        .flatMap { case (u, h) =>
+          val n = html.Meta.nextLink(h)
+          if (n.isEmpty) None else Some((u, n))
+        }.toDF("src", "dst")
+      ops.Redirects.resolve(edges).orderBy(col("src"))
+    }),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -3069,6 +3106,51 @@ object SparkEntry {
         |SELECT doc_id, CAST(alt_idx AS BIGINT) AS alt_idx, hreflang,
         |  href
         |FROM r ORDER BY doc_id, alt_idx""".stripMargin,
+
+    // bpe twin: independent vocab + pair derivation
+    "bpe_candidates" ->
+      """WITH w AS (
+        |  SELECT unnest(list_transform(
+        |    regexp_extract_all(text, '[A-Za-z]+'),
+        |    t -> lower(t))) AS word
+        |  FROM documents),
+        |v AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+        |p AS (
+        |  SELECT freq, unnest(list_transform(
+        |    range(1, length(word) + 1),
+        |    i -> struct_pack(a := substr(word, i, 1),
+        |      b := CASE WHEN i < length(word)
+        |        THEN substr(word, i + 1, 1) ELSE '</w>' END))) AS pr
+        |  FROM v)
+        |SELECT pr.a AS sym1, pr.b AS sym2,
+        |  CAST(SUM(freq) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1, 2
+        |ORDER BY pair_count DESC, sym1, sym2 LIMIT 25""".stripMargin,
+
+    // pagination twin: same derived edges + the recursive-CTE resolver
+    "pagination_chains" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS p
+        |  FROM documents),
+        |e AS (
+        |  SELECT 'http://s/a' || g || '/p' || p AS src,
+        |    'http://s/a' || g || '/p' ||
+        |      CASE WHEN p < 3 THEN p + 1 ELSE 0 END AS dst
+        |  FROM d WHERE p < 3 OR g = 0),
+        |walk AS (
+        |  SELECT src, dst, 1 AS hops FROM e
+        |  UNION ALL
+        |  SELECT w.src, e.dst, w.hops + 1
+        |  FROM walk w JOIN e ON w.dst = e.src WHERE w.hops < 64),
+        |term AS (
+        |  SELECT w.src, w.dst, w.hops FROM walk w
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.dst))
+        |SELECT s.src, term.dst AS final_dst,
+        |  CAST(term.hops AS BIGINT) AS hops,
+        |  term.src IS NOT NULL AS resolved
+        |FROM (SELECT DISTINCT src FROM e) s
+        |LEFT JOIN term ON s.src = term.src
+        |ORDER BY s.src""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

@@ -181,6 +181,23 @@ object Meta {
     out.result()
   }
 
+  /** First `<link rel="next">` href — the pagination forward pointer
+    * (multi-page articles); "" when absent. rel matching is token-
+    * and case-insensitive like all rel handling here. Feed the
+    * resulting (url, next_url) edges to `ops.Redirects.resolve` to
+    * assemble whole pagination chains in log-depth joins. */
+  def nextLink(html: String): String = {
+    var found: String = null
+    HtmlTokenizer.tokenize(Option(html).getOrElse("")).foreach {
+      case HtmlTokenizer.StartTag("link", attrs, _) if found == null =>
+        val href = attr(attrs, "href")
+        if (relTokens(attr(attrs, "rel")).contains("next") &&
+          href.nonEmpty) found = href
+      case _ => ()
+    }
+    if (found == null) "" else found
+  }
+
   /** One row per alternate: (idCol, alt_idx, hreflang, href) — one
     * typed flatMap, map-only. */
   def alternateRows(df: DataFrame, idCol: String,

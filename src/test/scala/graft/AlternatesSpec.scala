@@ -32,4 +32,17 @@ class AlternatesSpec extends AnyFunSuite {
     assert(Meta.alternates("<p>x</p>").isEmpty)
     assert(Meta.alternates(null).isEmpty)
   }
+
+  test("nextLink: first rel=next href, token/case-insensitive") {
+    assert(Meta.nextLink(
+      """<link rel="prev" href="http://h/1">
+        |<link rel="NEXT" href="http://h/3">
+        |<link rel="next" href="http://h/4">""".stripMargin) ==
+      "http://h/3")
+    assert(Meta.nextLink("""<link rel="next prefetch" href="http://h/n">""") ==
+      "http://h/n")
+    assert(Meta.nextLink("""<link rel="next">""") == "")
+    assert(Meta.nextLink("<p>x</p>") == "")
+    assert(Meta.nextLink(null) == "")
+  }
 }

@@ -550,6 +550,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!planStr.contains("ScalaUDF"))
   }
 
+  test("bpe_candidates: corpus touched once; pairs explode on the vocab") {
+    val q = SparkEntry.queries("bpe_candidates")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF") &&
+      !planStr.contains("SerializeFromObject"))
+    assert(planStr.contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrderedAndProject, never a global sort")
+    assert(planStr.contains("partial_count"),
+      s"the word-count aggregate must combine map-side:\n" +
+        planStr.take(2000))
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
