@@ -378,6 +378,15 @@ object Plans {
           |embedding/packing stages at scan speed.""".stripMargin,
         SparkEntry.queries("passage_chunks")(spark, sf)),
 
+      ("curation funnel v2: one accumulating pass + one threshold pass",
+        """Must hold: trap, dedup, readability, and length-gate flags
+          |accumulate over ONE persisted frame (the dedup keeper
+          |window keys on the canonical digest); the only second pass
+          |computes the data-dependent p99 and joins back as a
+          |broadcast 1-row threshold — at 100 TB the corpus is read
+          |twice, not once per stage.""".stripMargin,
+        SparkEntry.queries("curation_funnel_v2")(spark, sf)),
+
       ("BPE candidates: corpus once, pairs on the vocab",
         """Must hold: the corpus is touched once (map-side-combined
           |word counts); the symbol-pair explosion runs on the VOCAB

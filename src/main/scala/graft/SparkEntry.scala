@@ -1573,6 +1573,50 @@ object SparkEntry {
       ops.Redirects.resolve(edges).orderBy(col("src"))
     }),
 
+    // curation funnel v2 — the round-5 operators COMPOSED end to end
+    // over real text: trap filter -> canonical-key exact dedup (keep
+    // first surviving doc per digest; a planted duplicate family
+    // collapses) -> Flesch floor (the planted duplicate's keeper
+    // scores negative and dies here) -> p99 length gate computed on
+    // the stage-3 survivors. Stage flags accumulate in ONE pass over
+    // the persisted frame (+1 pass for the data-dependent p99). The
+    // oracle reimplements every stage in SQL.
+    "curation_funnel_v2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val id = col("doc_id")
+      val base = t(s, dir, "documents").select(id, col("text"))
+        .withColumn("path", when(id % 10 === 0, lit("/a/b/a/c/a"))
+          .otherwise(lit("/a/b/c")))
+        .withColumn("query", lit("x=1"))
+        .withColumn("text2", when(id % 9 === 4,
+          lit("Shared   DUPLICATE, text!")).otherwise(col("text")))
+      val t1 = ops.TrapDetect.withTrapReason(base, "path", "query")
+        .withColumn("f1", col("trap_reason") === "ok")
+      val k1 = ops.CanonKey.withCanonKey(t1, "text2")
+      val w = Window.partitionBy(col("canon_digest"))
+        .orderBy(col("f1").desc, col("doc_id"))
+      val flagged = ops.Readability.withReadability(
+          k1.withColumn("rn", row_number().over(w))
+            .withColumn("f2", col("f1") && col("rn") === 1),
+          "text2")
+        .withColumn("f3", col("f2") &&
+          coalesce(col("flesch_milli") >= 30000L, lit(false)))
+        .withColumn("len2", length(col("text2")).cast("long"))
+        .persist()
+      val p99 = ops.Quantiles.exactQuantiles(
+          flagged.where(col("f3")).select(col("len2").as("v")), "v")
+        .select(col("p99"))
+      flagged.crossJoin(broadcast(p99))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("f1"), 1L).otherwise(0L)).as("n_after_traps"),
+          sum(when(col("f2"), 1L).otherwise(0L)).as("n_after_dedup"),
+          sum(when(col("f3"), 1L).otherwise(0L)).as("n_readable"),
+          sum(when(col("f3") && col("len2") <= col("p99"), 1L)
+            .otherwise(0L)).as("n_final"),
+          sum(when(col("f3") && col("len2") <= col("p99"), col("doc_id"))
+            .otherwise(0L)).cast("long").as("survivor_checksum"))
+    }),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -3151,6 +3195,69 @@ object SparkEntry {
         |FROM (SELECT DISTINCT src FROM e) s
         |LEFT JOIN term ON s.src = term.src
         |ORDER BY s.src""".stripMargin,
+
+    // funnel-v2 twin: every stage reimplemented — trap rule, nfc+md5
+    // canonical dedup with the same keeper order, Flesch floor,
+    // histogram p99 over stage-3 survivors
+    "curation_funnel_v2" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 10 = 0 THEN '/a/b/a/c/a'
+        |      ELSE '/a/b/c' END AS path,
+        |    CASE WHEN doc_id % 9 = 4 THEN 'Shared   DUPLICATE, text!'
+        |      ELSE text END AS text2
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT *, (SELECT len(list_filter(list_distinct(segs),
+        |      d -> len(list_filter(segs, x -> x = d)) >= 3)) = 0
+        |    FROM (SELECT list_filter(string_split(path, '/'),
+        |      x -> x != '') AS segs)) AS f1
+        |  FROM base),
+        |k AS (
+        |  SELECT *, md5(trim(regexp_replace(
+        |    nfc_normalize(lower(text2)), '[^\p{L}\p{N}]+', ' ', 'g')))
+        |    AS dg
+        |  FROM s1),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY dg
+        |    ORDER BY CASE WHEN f1 THEN 0 ELSE 1 END, doc_id) AS rn
+        |  FROM k),
+        |fl AS (SELECT *, f1 AND rn = 1 AS f2 FROM r),
+        |rd AS (
+        |  SELECT *,
+        |    CAST(len(regexp_extract_all(text2, '[A-Za-z]+')) AS BIGINT)
+        |      AS w,
+        |    CAST(greatest(len(regexp_extract_all(text2, '[.!?]+')), 1)
+        |      AS BIGINT) AS sct,
+        |    CAST(len(regexp_extract_all(text2, '(?i)[aeiouy]+')) +
+        |      len(regexp_extract_all(text2,
+        |        '(?i)\b[b-df-hj-np-tv-xz]+\b')) AS BIGINT) AS y
+        |  FROM fl),
+        |f3t AS (
+        |  SELECT *, f2 AND w > 0 AND
+        |    (206835 - (1015 * w) // sct - (84600 * y) // w) >= 30000
+        |      AS f3,
+        |    CAST(length(text2) AS BIGINT) AS len2
+        |  FROM rd),
+        |hist AS (SELECT len2 AS v, COUNT(*) AS c FROM f3t WHERE f3
+        |         GROUP BY 1),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+        |          SUM(c) OVER () AS n3
+        |        FROM hist),
+        |p99 AS (SELECT MIN(v) AS p99v FROM cum
+        |        WHERE cum >= (99 * n3 + 99) // 100)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after_traps,
+        |  CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after_dedup,
+        |  CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_readable,
+        |  CAST(SUM(CASE WHEN f3 AND len2 <= p99.p99v THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_final,
+        |  CAST(SUM(CASE WHEN f3 AND len2 <= p99.p99v THEN doc_id
+        |    ELSE 0 END) AS BIGINT) AS survivor_checksum
+        |FROM f3t, p99""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

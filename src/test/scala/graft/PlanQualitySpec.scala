@@ -563,6 +563,19 @@ class PlanQualitySpec extends AnyFunSuite {
         planStr.take(2000))
   }
 
+  test("curation_funnel_v2: stage flags accumulate; digest-keyed window") {
+    val q = SparkEntry.queries("curation_funnel_v2")(spark, "/root/testdata/sf0.001")
+    val planStr = finalPlans(q).head.toString
+    assert(planStr.contains("hashpartitioning(canon_digest"),
+      s"the dedup keeper window must key on the digest:\n" +
+        planStr.take(2000))
+    assert(!planStr.contains("ScalaUDF"),
+      "every stage is codegen or a registered native expression")
+    assert(!planStr.contains("CartesianProduct"),
+      "the p99 gate joins a broadcast 1-row threshold, never a " +
+        "cartesian over data")
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
