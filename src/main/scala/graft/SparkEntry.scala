@@ -1617,6 +1617,35 @@ object SparkEntry {
             .otherwise(0L)).cast("long").as("survivor_checksum"))
     }),
 
+    // page-level outlink profiles — four branches: mixed internal/
+    // external with a nofollow and a same-host-absolute (port+case
+    // traps), all-relative, external-only with skipped mailto/
+    // javascript, and no links. The oracle states counts per branch.
+    "outlink_profiles" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val host = s"site${id % 5}.com"
+          val page = (id % 4) match {
+            case 0 => "<a href=\"/about\">a</a>" +
+              s"""<a href="http://Site${id % 5}.COM:80/deep">c</a>""" +
+              "<a href=\"https://other.net/x\" rel=\"NoFollow\">d</a>" +
+              s"""<a href="https://other.net/y?id=$id">e</a>"""
+            case 1 => "<a href=\"p1.html\">x</a><a href=\"p2.html\">y" +
+              "</a><a href=\"/z\">z</a>"
+            case 2 => "<a href=\"mailto:x@y.z\">m</a>" +
+              "<a href=\"javascript:void(0)\">j</a>" +
+              s"""<a href="http://spam.example/$id" rel="nofollow">s</a>""" +
+              "<a href=\"http://farm.example/\">f</a>"
+            case _ => "<p>no links</p>"
+          }
+          (id, page, host)
+        }.toDF("doc_id", "page_html", "host")
+      html.Anchors.outlinkProfileRows(rows, "doc_id", "page_html",
+          "host")
+        .orderBy(col("doc_id"))
+    }),
+
     // exact phrase search over positional postings — the trigram
     // "slow hash batch" against the real corpus text; each join input
     // filters to ONE term before the (doc, aligned-pos) equi-joins.
@@ -3258,6 +3287,19 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN f3 AND len2 <= p99.p99v THEN doc_id
         |    ELSE 0 END) AS BIGINT) AS survivor_checksum
         |FROM f3t, p99""".stripMargin,
+
+    // outlink twin: counts stated per branch
+    "outlink_profiles" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3
+        |    WHEN 2 THEN 2 ELSE 0 END AS BIGINT) AS n_links,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3
+        |    ELSE 0 END AS BIGINT) AS n_internal,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 2 THEN 2
+        |    ELSE 0 END AS BIGINT) AS n_external,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 1
+        |    ELSE 0 END AS BIGINT) AS n_nofollow
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // phrase twin: independent positional reimplementation — zipped
     // unnests, window-free

@@ -78,4 +78,69 @@ object Anchors {
       }
       .toDF(idCol, "href", "anchor_text")
   }
+
+  private def hostOf(url: String): String = {
+    val at = url.indexOf("://")
+    if (at < 0) return ""
+    var s = url.substring(at + 3)
+    val slash = s.indexOf('/')
+    if (slash >= 0) s = s.substring(0, slash)
+    val colon = s.indexOf(':')
+    if (colon >= 0) s = s.substring(0, colon)
+    s.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Page-level outlink profile — the page-granular complement to the
+    * block-level link-density signal: (n_links, n_internal,
+    * n_external, n_nofollow). Pinned classification: non-page schemes
+    * (`mailto:`/`javascript:`/`tel:`/`data:`) are SKIPPED entirely;
+    * scheme-relative and path-relative hrefs are INTERNAL; absolute
+    * http(s) links compare lowercased host (port stripped) against
+    * `pageHost`; `rel` nofollow matching is token- and
+    * case-insensitive. A farm page shows high external share; a
+    * comment-spammed page shows high nofollow share. */
+  def outlinkProfile(html: String,
+                     pageHost: String): (Long, Long, Long, Long) = {
+    var n = 0L; var internal = 0L; var external = 0L; var nofollow = 0L
+    val ph = pageHost.toLowerCase(java.util.Locale.ROOT)
+    HtmlTokenizer.tokenize(Option(html).getOrElse("")).foreach {
+      case HtmlTokenizer.StartTag("a", attrs, _) =>
+        val href = attrs.collectFirst { case ("href", v) => v }
+          .getOrElse("")
+        val lower = href.toLowerCase(java.util.Locale.ROOT)
+        val skip = href.isEmpty || lower.startsWith("mailto:") ||
+          lower.startsWith("javascript:") || lower.startsWith("tel:") ||
+          lower.startsWith("data:")
+        if (!skip) {
+          n += 1
+          val h =
+            if (lower.startsWith("http://") ||
+              lower.startsWith("https://")) hostOf(href)
+            else ""
+          if (h.isEmpty || h == ph) internal += 1 else external += 1
+          val rel = attrs.collectFirst { case ("rel", v) => v }
+            .getOrElse("")
+          if (rel.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            .contains("nofollow")) nofollow += 1
+        }
+      case _ => ()
+    }
+    (n, internal, external, nofollow)
+  }
+
+  /** One row per document: (idCol, n_links, n_internal, n_external,
+    * n_nofollow) — one typed map, map-only. */
+  def outlinkProfileRows(df: DataFrame, idCol: String, htmlCol: String,
+                         hostCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(htmlCol).cast("string"),
+        col(hostCol).cast("string"))
+      .as[(Long, String, String)]
+      .map { case (id, h, host) =>
+        val (a, b, c, d) = outlinkProfile(h, Option(host).getOrElse(""))
+        (id, a, b, c, d)
+      }
+      .toDF(idCol, "n_links", "n_internal", "n_external", "n_nofollow")
+  }
 }

@@ -576,6 +576,15 @@ class PlanQualitySpec extends AnyFunSuite {
         "cartesian over data")
   }
 
+  test("outlink_profiles: map-only typed path, one scan") {
+    val q = SparkEntry.queries("outlink_profiles")(spark, "/root/testdata/sf0.001")
+    assert(scans(q).length == 1)
+    val planStr = finalPlans(q).head.toString
+    assert(!planStr.contains("ScalaUDF"))
+    val exchanges = planStr.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1)
+  }
+
   test("phrase_search: join inputs are term-filtered, never cartesian") {
     val q = SparkEntry.queries("phrase_search")(spark, "/root/testdata/sf0.001")
     val planStr = finalPlans(q).head.toString
